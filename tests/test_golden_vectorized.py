@@ -1,0 +1,40 @@
+"""Vectorized kernels vs Rust-generated golden boundaries — every fixture, full size."""
+
+import json
+import pathlib
+
+import pytest
+
+from rust_chunking_spark.kernels import scalar as S
+from rust_chunking_spark.kernels import vectorized as V
+
+CASE_RUNNERS = {
+    ("ae", "default"): lambda b: V.ae_chunks(b, 8192, 16384),
+    ("ae", "filetest"): lambda b: V.ae_chunks(b, 4096, 16384),
+    ("ram", "default"): lambda b: V.ram_chunks(b, 8192, 16384, 32),
+    ("ram", "filetest"): lambda b: V.ram_chunks(b, 4096, 16384, 32),
+    ("rabin", "default"): lambda b: V.rabin_chunks(b, 16384, 65536),
+    ("rabin", "custom"): lambda b: V.rabin_chunks(b, 3000, 100000),
+    # rabin_zero (all-zero tables) has an unbounded-memory hash; scalar-only path
+    ("rabin_zero", "unittest"): lambda b: S.rabin_chunks(
+        b, 3000, 100000, tables=S.RABIN_ZERO_TABLES),
+    ("seq", "inc"): lambda b: V.seq_chunks(b, 4096, 16384, increasing=True),
+    ("seq", "dec"): lambda b: V.seq_chunks(b, 4096, 16384, increasing=False),
+    ("super", "default"): lambda b: V.super_chunks(b, 4096, 8192, 65536),
+    ("super", "custom"): lambda b: V.super_chunks(b, 2048, 4096, 32768),
+    ("ultra", "default"): lambda b: V.ultra_chunks(b, 2048, 10240, 65536),
+    ("ultra", "custom"): lambda b: V.ultra_chunks(b, 1024, 4096, 16384),
+    ("leap", "default"): lambda b: V.leap_chunks(b, 8192, 16384),
+}
+
+_KEYS = sorted(json.loads(
+    (pathlib.Path(__file__).parent / "golden" / "golden.json").read_text()))
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_vectorized_matches_rust(key, golden, fixture_bytes):
+    fixture, algo, suffix = key.split("/")
+    buf = fixture_bytes(fixture)
+    got = CASE_RUNNERS[(algo, suffix)](buf)
+    expected = [tuple(c) for c in golden[key]]
+    assert [tuple(c) for c in got] == expected
