@@ -1,0 +1,189 @@
+"""BucketedLake — an Iceberg-style table: snapshot isolation, atomic commits,
+bucket-pruned MERGE, additive schema evolution, committed-epoch markers.
+
+The sandbox has no Iceberg runtime jar, so the same semantics are implemented
+on parquet (SURVEY.md §7.4 keeps MERGE behind one sink interface; on a real
+cluster this class is swapped for `MERGE INTO iceberg.db.pages`):
+
+- Data files are immutable parquet files assigned to url-hash buckets
+  (pmod(xxhash64(url), n_buckets) — same layout as Iceberg `bucket(N, url)`).
+- A snapshot (JSON) lists the live files per bucket + the set of committed
+  epochs; `CURRENT` is flipped by atomic os.replace — readers see either the
+  old or the new snapshot, never a partial write (exactly-once commit point).
+- MERGE rewrites only *dirty* buckets (buckets containing changed urls); clean
+  buckets carry over by reference. At 100 TB this is the difference between
+  an O(table) rewrite and an O(delta) one.
+- Schema evolution is additive: the snapshot stores the widest schema; readers
+  unionByName(allowMissingColumns=True) so old files yield nulls for new
+  columns (Iceberg metadata evolution equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class BucketedLake:
+    def __init__(self, path: str, key_col: str = "url", n_buckets: int = 32):
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    # ------------------------------------------------------------- snapshots
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "snapshots", "CURRENT")
+
+    def current_snapshot(self) -> dict:
+        try:
+            with open(self._current_path) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.path, "snapshots", name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "files": {}, "committed_epochs": [],
+                    "schema": None, "stats": {}}
+
+    def committed_epochs(self) -> set[int]:
+        return set(self.current_snapshot()["committed_epochs"])
+
+    def _commit(self, snap: dict) -> None:
+        name = f"v{snap['version']:08d}.json"
+        with open(os.path.join(self.path, "snapshots", name), "w") as f:
+            json.dump(snap, f)
+        tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, self._current_path)   # atomic flip = the commit point
+
+    # ----------------------------------------------------------------- reads
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None
+             ) -> DataFrame | None:
+        """Current table state; `buckets` prunes to the named buckets only."""
+        snap = self.current_snapshot()
+        files: list[str] = []
+        sel = snap["files"]
+        if buckets is not None:
+            sel = {str(b): sel.get(str(b), []) for b in buckets}
+        for fl in sel.values():
+            files.extend(fl)
+        schema = self._schema_from_json(snap["schema"])
+        if not files:
+            if schema is None:
+                return None
+            return spark.createDataFrame([], schema)
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[os.path.join(self.path, "data", f) for f in files]))
+        if schema is not None:
+            empty = spark.createDataFrame([], schema)
+            df = df.unionByName(empty, allowMissingColumns=True)
+            # reorder/extend to the table schema (additive evolution)
+            df = df.select(*[F.col(c) for c in empty.columns])
+        return df
+
+    @staticmethod
+    def _schema_from_json(sj):
+        if sj is None:
+            return None
+        from pyspark.sql.types import StructType
+        return StructType.fromJson(json.loads(sj))
+
+    # ---------------------------------------------------------------- writes
+
+    def bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
+
+    def overwrite_buckets(self, df: DataFrame, dirty_buckets: list[int],
+                          epoch: int, stats: dict | None = None) -> None:
+        """MERGE commit: replace the named buckets with df's rows, atomically.
+
+        df must contain only rows whose bucket is in dirty_buckets. Rows are
+        written one parquet directory per bucket so later reads prune cleanly.
+        """
+        snap = self.current_snapshot()
+        new_files = dict(snap["files"])
+        token = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        staged = df.withColumn("__bucket", self.bucket_expr())
+        out_dir = os.path.join(self.path, "data", f"merge-{token}")
+        (staged.repartition(max(1, len(dirty_buckets)), "__bucket")
+               .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir))
+        written = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("__bucket="):
+                b = int(entry.split("=", 1)[1])
+                written[b] = [f"merge-{token}/{entry}"]
+        for b in dirty_buckets:
+            new_files[str(b)] = written.get(b, [])   # empty bucket -> no files
+        snap2 = {
+            "version": snap["version"] + 1,
+            "files": new_files,
+            "committed_epochs": sorted(set(snap["committed_epochs"]) | {epoch}),
+            "schema": stats.pop("__schema") if stats and "__schema" in stats
+                      else snap["schema"],
+            "stats": {**snap.get("stats", {}), str(epoch): stats or {}},
+            "ts": time.time(),
+        }
+        self._commit(snap2)
+
+    def init_schema(self, schema_ddl: str) -> None:
+        snap = self.current_snapshot()
+        if snap["schema"] is None:
+            snap = {**snap, "version": snap["version"] + 1, "schema": schema_ddl}
+            self._commit(snap)
+
+    def evolve_schema(self, schema_ddl: str) -> None:
+        """Additive evolution: record the widened schema in table metadata."""
+        snap = self.current_snapshot()
+        snap = {**snap, "version": snap["version"] + 1, "schema": schema_ddl}
+        self._commit(snap)
+
+
+class AppendOnlyTable:
+    """Append-only parquet table with atomic per-epoch commits (chunk store,
+    metrics). An epoch's files become visible only via the manifest flip, and
+    re-appending a committed epoch is a no-op — idempotent under replay."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        self._lake = BucketedLake.__new__(BucketedLake)
+        self._lake.path = path
+        self._lake.key_col = ""
+        self._lake.n_buckets = 0
+
+    def current_snapshot(self) -> dict:
+        return self._lake.current_snapshot()
+
+    def committed_epochs(self) -> set[int]:
+        return self._lake.committed_epochs()
+
+    def append(self, df: DataFrame, epoch: int) -> None:
+        snap = self.current_snapshot()
+        if epoch in snap["committed_epochs"]:
+            return
+        token = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        rel = f"append-{token}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, "data", rel))
+        files = dict(snap["files"])
+        files.setdefault("0", []).append(rel)
+        self._lake._commit({
+            "version": snap["version"] + 1,
+            "files": files,
+            "committed_epochs": sorted(set(snap["committed_epochs"]) | {epoch}),
+            "schema": snap["schema"],
+            "stats": snap.get("stats", {}),
+            "ts": time.time(),
+        })
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self._lake.read(spark)

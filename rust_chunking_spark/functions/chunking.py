@@ -1,0 +1,118 @@
+"""Chunking + fingerprinting as vectorized pandas UDFs (Arrow-batched).
+
+The Spark surface for the reference's seven chunkers (SURVEY.md §2.1): each
+UDF maps ``html: binary -> array<struct<pos: long, len: long>>`` (or with a
+sha3-256 hash per chunk for the fingerprint variant). Cross-row parallelism is
+Spark's axis; the per-row scan is the vectorized numpy kernel, so boundaries
+are identical to the Rust reference (golden-tested).
+
+Design notes (100 TB scale):
+- scalar pandas_udf (Series -> Series): whole-stage codegen feeds the Python
+  worker via Arrow; no per-row Python in the plan (input_hint requirement).
+- LUT constants (~12 KB) live in the module, serialized once into the UDF
+  closure — the effective broadcast.
+- sha3-256 comes from hashlib inside the UDF (Spark's sha2 is SHA-2;
+  filetest.rs:100-120 uses SHA3-256).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import vectorized as V
+from ..kernels.scalar import DEFAULT_SIZES
+
+CHUNK_SCHEMA = ArrayType(StructType([
+    StructField("pos", LongType(), False),
+    StructField("len", LongType(), False),
+]))
+
+FP_CHUNK_SCHEMA = ArrayType(StructType([
+    StructField("pos", LongType(), False),
+    StructField("len", LongType(), False),
+    StructField("hash", BinaryType(), False),
+]))
+
+
+def make_chunker(algo: str, **params):
+    """Plain-Python chunker callable bytes -> np.ndarray[(n,2)] for `algo`."""
+    fn = V.ALGORITHMS[algo]
+    if not params:
+        return fn
+    return lambda buf: fn(buf, **params)
+
+
+def chunk_udf(algo: str, **params):
+    """pandas UDF: binary -> array<struct<pos,len>> with exact reference boundaries."""
+    chunker = make_chunker(algo, **params)
+
+    @pandas_udf(CHUNK_SCHEMA)
+    def _chunk(col: pd.Series) -> pd.Series:
+        out = []
+        for buf in col:
+            if buf is None:
+                out.append(None)
+                continue
+            arr = chunker(buf)
+            out.append([{"pos": int(p), "len": int(ln)} for p, ln in arr])
+        return pd.Series(out)
+
+    return _chunk
+
+
+def fingerprint_udf(algo: str = "super", **params):
+    """pandas UDF: binary -> array<struct<pos,len,hash>>; hash = SHA3-256 of chunk bytes.
+
+    Mirrors the reference dedup pass (filetest.rs:100-120) as a reusable
+    column expression; the page-level content fingerprint used for no-op
+    detection is derived downstream (sha3 over the concatenated chunk hashes).
+    """
+    chunker = make_chunker(algo, **params)
+
+    @pandas_udf(FP_CHUNK_SCHEMA)
+    def _fp(col: pd.Series) -> pd.Series:
+        out = []
+        for buf in col:
+            if buf is None:
+                out.append(None)
+                continue
+            b = bytes(buf)
+            arr = chunker(b)
+            out.append([
+                {"pos": int(p), "len": int(ln),
+                 "hash": hashlib.sha3_256(b[p:p + ln]).digest()}
+                for p, ln in arr
+            ])
+        return pd.Series(out)
+
+    return _fp
+
+
+@pandas_udf(BinaryType())
+def sha3_256_udf(col: pd.Series) -> pd.Series:
+    """SHA3-256 of a binary column (Spark sha2 is SHA-2; reference uses SHA3)."""
+    return col.map(
+        lambda b: None if b is None else hashlib.sha3_256(bytes(b)).digest())
+
+
+def with_chunks(df, algo: str = "super", src_col: str = "html",
+                out_col: str = "chunks", fingerprints: bool = True, **params):
+    """Attach chunk (and hash) arrays to a DataFrame; built-ins stay JVM-side."""
+    udf = fingerprint_udf(algo, **params) if fingerprints else chunk_udf(algo, **params)
+    return df.withColumn(out_col, udf(F.col(src_col)))
+
+
+def default_sizes(algo: str) -> tuple[int, int, int]:
+    return DEFAULT_SIZES[algo]
