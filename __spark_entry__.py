@@ -1,38 +1,385 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() covers SURVEY.md §2: the seven CDC chunking kernels (as coverage
+invariants checkable by DuckDB + rows-only boundary dumps), the relational
+engine operators the north_rule requires (LWW window, joins, aggregations,
+set ops, histogram, top-k, scalar/JSON functions), and training-data-pipeline
+operators (exact dedup, token counting, quality stats, ANN cosine top-k).
+
+Column names are aliased identically in the Spark plans and the oracle SQL so
+the driver's order-insensitive value-hash compare sees the same values.
+Money-ish aggregates are cast to DECIMAL(18,2) *before* aggregation in both
+engines so sums are exact (no float summation-order drift).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- chunk queries
+
+# Per-algorithm params sized for document-scale text (defaults are tuned for
+# 8-64 KiB pages; docs are 0.1-3 KiB). Constraints: rabin min > 64
+# (rabin.rs:66), leap min >= window_size + window_count + 1 = 204.
+CHUNK_PARAMS = {
+    "super": dict(min_size=64, avg_size=128, max_size=512),
+    "ae": dict(min_size=64, max_size=256),
+    "ram": dict(min_size=64, max_size=256, window_size=32),
+    "rabin": dict(min_size=128, max_size=1024),
+    "seq": dict(min_size=64, max_size=256),
+    "ultra": dict(min_size=64, normal_size=128, max_size=512),
+    "leap": dict(min_size=256, max_size=512),
+}
+
+
+def _chunk_cov(algo: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rust_chunking_spark.functions.chunking import chunk_udf
+
+        docs = _t(spark, sf_dir, "documents")
+        udf = chunk_udf(algo, **CHUNK_PARAMS[algo])
+        return (docs
+                .withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+                .select(F.col("doc_id"),
+                        F.expr("aggregate(chunks, 0L, (a, c) -> a + c.len)")
+                        .alias("total_len"))
+                .orderBy("doc_id"))
+    return q
+
+
+def _chunk_boundaries(algo: str):
+    """Exploded (doc_id, pos, len) — exact boundaries; rows-only driver check
+    (boundary exactness itself is golden-tested against the Rust reference)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rust_chunking_spark.functions.chunking import chunk_udf
+
+        docs = _t(spark, sf_dir, "documents")
+        udf = chunk_udf(algo, **CHUNK_PARAMS[algo])
+        return (docs
+                .withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+                .select("doc_id", F.explode("chunks").alias("c"))
+                .select("doc_id", F.col("c.pos").alias("pos"),
+                        F.col("c.len").alias("len")))
+    return q
+
+
+def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference dedup_info (filetest.rs:100-120) over the document corpus."""
+    from rust_chunking_spark.functions.chunking import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    udf = fingerprint_udf("super", **CHUNK_PARAMS["super"])
+    chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+              .select(F.explode("chunks").alias("c"))
+              .select(F.col("c.hash").alias("h"), F.col("c.len").alias("len")))
+    return chunks.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("h").alias("unique_chunks"),
+        F.sum("len").alias("total_bytes"))
+
+
+# ------------------------------------------------------------- text pipeline
+
+def _q_doc_lang_stats(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("lang"))
+
+
+def _q_doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+                + F.lit(1))
+    return d.select("doc_id", n_tokens.cast("long").alias("n_tokens"),
+                    F.octet_length("text").alias("n_bytes"))
+
+
+def _q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    the_hits = ((F.length("text")
+                 - F.length(F.regexp_replace("text", " the ", ""))) / 5)
+    spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        the_hits.cast("long").alias("n_the"),
+        spaces.cast("long").alias("n_spaces"),
+        (F.col("n_chars") >= 1000).alias("is_long"))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_distinct_texts"))
+
+
+def _q_lang_source_matrix(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang", "source").agg(F.count("*").alias("n"))
+            .orderBy("lang", "source"))
+
+
+# ----------------------------------------------------------------- relational
+
+def _q_lww_latest_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+def _q_top_event_types(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value"))
+            .orderBy("event_type"))
+
+
+def _q_daily_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("day"))
+
+
+def _q_props_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n"))
+            .orderBy("event_type"))
+
+
+def _q_orders_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+def _q_top_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("spend"))
+            .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+            .limit(10))
+
+
+def _q_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                       .cast("decimal(28,4)")).cast("double").alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_qty_histogram(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy(F.floor(F.col("l_quantity") / 5).cast("long")
+                      .alias("bucket"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("bucket"))
+
+
+def _q_parts_unordered(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (p.join(l.select("l_partkey").distinct(),
+                   p.p_partkey == F.col("l_partkey"), "left_anti")
+            .agg(F.count("*").alias("n_unordered")))
+
+
+def _q_supplier_by_region(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name").agg(F.count("*").alias("n_suppliers"))
+            .orderBy("r_name"))
+
+
+def _q_status_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (o_cust.distinct().exceptAll(f_cust.distinct())
+            .withColumnRenamed("o_custkey", "custkey")
+            .orderBy("custkey"))
+
+
+# ------------------------------------------------------------------- vectors
+
+def _q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs probe vec_id=0 (baseline ANN operator).
+
+    Exact integer-free compare is impossible for cosine; both engines compute
+    in float32->double and results are rounded to 4 decimals. The top-k cut is
+    taken on (rounded sim, vec_id) so ordering ties are deterministic.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe"))
+    j = e.crossJoin(F.broadcast(probe))
+    dot = F.expr("aggregate(zip_with(embedding, probe, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)")
+    norm = lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
+    sim = dot / (norm("embedding") * norm("probe"))
+    return (j.select("vec_id", F.round(sim, 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(20))
+
+
+# -------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC-style chunk fingerprint + dedup stats over sf0.001 docs."""
+    return _chunk_dedup_ratio(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
+    for algo in CHUNK_PARAMS:
+        q[f"chunk_cov_{algo}"] = _chunk_cov(algo)
+    q["chunk_boundaries_super"] = _chunk_boundaries("super")
+    q["chunk_boundaries_leap"] = _chunk_boundaries("leap")
+    q["chunk_dedup_ratio_super"] = _chunk_dedup_ratio
+    q.update({
+        "doc_lang_stats": _q_doc_lang_stats,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "exact_dedup_stats": _q_exact_dedup,
+        "lang_source_matrix": _q_lang_source_matrix,
+        "lww_latest_events": _q_lww_latest_events,
+        "top_event_types": _q_top_event_types,
+        "daily_events": _q_daily_events,
+        "props_json_sum": _q_props_json,
+        "orders_status_agg": _q_orders_status,
+        "top_customers": _q_top_customers,
+        "pricing_summary": _q_pricing_summary,
+        "qty_histogram": _q_qty_histogram,
+        "parts_unordered": _q_parts_unordered,
+        "supplier_by_region": _q_supplier_by_region,
+        "status_except": _q_status_except,
+        "ann_topk_cosine": _q_ann_topk,
+    })
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    # chunk coverage invariant: sum of chunk lens == utf-8 byte length
+    for algo in CHUNK_PARAMS:
+        sql[f"chunk_cov_{algo}"] = (
+            "SELECT doc_id, octet_length(encode(text)) AS total_len "
+            "FROM documents ORDER BY doc_id")
+    sql.update({
+        "doc_lang_stats": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_tokens": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents""",
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+                   n_chars >= 1000 AS is_long
+            FROM documents""",
+        "exact_dedup_stats": """
+            SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents""",
+        "lang_source_matrix": """
+            SELECT lang, source, count(*) AS n FROM documents
+            GROUP BY lang, source ORDER BY lang, source""",
+        "lww_latest_events": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1""",
+        "top_event_types": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "daily_events": """
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY day""",
+        "props_json_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "orders_status_agg": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        "top_customers": """
+            SELECT c_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey
+            ORDER BY n_orders DESC, c_custkey ASC LIMIT 10""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                            AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "qty_histogram": """
+            SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY bucket""",
+        "parts_unordered": """
+            SELECT count(*) AS n_unordered FROM part
+            WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)""",
+        "supplier_by_region": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name""",
+        "status_except": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY custkey""",
+        "ann_topk_cosine": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
+            FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+    })
+    return sql
