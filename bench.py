@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "change_events_per_sec", "value": <tput at 4N cores>,
+   "unit": "events/sec", "queries": {<name>: sec, ...}, "sf": <sf>,
+   "scaling": {"tput_n": ..., "tput_4n": ..., "efficiency": ...},
+   "kernels_mb_s": {...}}
+
+Sections:
+- queries: wall time of every __spark_entry__.queries() entry at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+- CDC replay throughput: generated CC-style WAL (distributed, deterministic)
+  replayed through the exactly-once MERGE engine; measured at local[N] and
+  local[4N] on the SAME input -> scaling efficiency = (tput_4N/tput_N)/4
+  (sandbox proxy for the N- vs 4N-executor cluster rule in BASELINE.json).
+- kernel MB/s: per-algorithm single-core chunking throughput (mirrors the
+  reference's filetest metric, filetest.rs:84-87).
+
+The replay subprocess mode (--replay) exists because a JVM can't change
+local[N] after start.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "40000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+AVG_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "2500"))
+N_EPOCHS = 2
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
+    from rust_chunking_spark.engine import BucketedLake, CdcIngestJob
+    from rust_chunking_spark.engine.lake import AppendOnlyTable
+    from rust_chunking_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cdc-replay-{cpus}", cpus=cpus,
+                      shuffle_partitions=2 * cpus)
+    tmp = tempfile.mkdtemp(prefix=f"lake-{cpus}-")
+    try:
+        lake = BucketedLake(f"{tmp}/lake", n_buckets=max(16, cpus))
+        job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp}/chunks"),
+                           AppendOnlyTable(f"{tmp}/metrics"), algo="super",
+                           collect_metrics=False)
+        # warm up JVM AND the python-UDF worker pool (spawning ~cpus workers
+        # lazily inside the timed region would bill one-time setup as tput)
+        from pyspark.sql import functions as F
+        from rust_chunking_spark.functions.chunking import sha3_256_udf
+        warm = spark.range(cpus * 4).repartition(cpus).select(
+            sha3_256_udf(F.encode(F.col("id").cast("string"), "utf-8")).alias("h"))
+        warm.count()
+        warm.count()
+        t0 = time.perf_counter()
+        results = job.run(wal_dir, list(range(N_EPOCHS)))
+        dt = time.perf_counter() - t0
+        seen = sum(m.events_seen for m in results) or total_events
+        return {"cpus": cpus, "seconds": dt, "events": seen,
+                "events_per_sec": seen / dt}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+def gen_wal(cpus: int, wal_dir: str) -> int:
+    from rust_chunking_spark.datagen.bench_wal import write_bench_wal
+    from rust_chunking_spark.session import get_spark
+
+    spark = get_spark(app_name="wal-gen", cpus=cpus)
+    try:
+        return write_bench_wal(spark, wal_dir, n_pages=BENCH_PAGES,
+                               events_per_epoch=BENCH_EVENTS,
+                               n_epochs=N_EPOCHS, avg_words=AVG_WORDS)
+    finally:
+        spark.stop()
+
+
+def query_bench(cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+    from rust_chunking_spark.session import get_spark
+
+    spark = get_spark(app_name="query-bench", cpus=cpus)
+    out = {}
+    try:
+        spark.range(1000).count()   # warm up
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        spark.stop()
+
+
+def kernel_bench() -> dict:
+    import numpy as np
+
+    from rust_chunking_spark.kernels import vectorized as V
+
+    rng = np.random.default_rng(7)
+    buf = rng.integers(0, 256, 4 << 20, dtype=np.uint8)
+    out = {}
+    for name, fn in V.ALGORITHMS.items():
+        t0 = time.perf_counter()
+        fn(buf)
+        out[name] = round(len(buf) / (time.perf_counter() - t0) / 1e6, 1)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replay", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--wal-dir", default="")
+    ap.add_argument("--events", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.replay:
+        r = replay_bench(args.cpus, args.wal_dir, args.events)
+        print("REPLAY_JSON:" + json.dumps(r))
+        return
+
+    queries = query_bench(CPUS)
+    kernels = kernel_bench()
+
+    wal_dir = tempfile.mkdtemp(prefix="bench-wal-")
+    try:
+        total = gen_wal(CPUS, wal_dir)
+        scal = {}
+        for c in [max(2, CPUS // 4), CPUS]:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--replay",
+                 "--cpus", str(c), "--wal-dir", wal_dir,
+                 "--events", str(total)],
+                capture_output=True, text=True, timeout=3600)
+            line = [l for l in p.stdout.splitlines()
+                    if l.startswith("REPLAY_JSON:")]
+            if not line:
+                print(p.stdout[-2000:], file=sys.stderr)
+                print(p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"replay at {c} cpus failed")
+            scal[c] = json.loads(line[0][len("REPLAY_JSON:"):])
+        n, n4 = max(2, CPUS // 4), CPUS
+        eff = (scal[n4]["events_per_sec"] / scal[n]["events_per_sec"]) / (n4 / n)
+        result = {
+            "metric": "change_events_per_sec",
+            "value": round(scal[n4]["events_per_sec"], 1),
+            "unit": "events/sec",
+            "queries": queries,
+            "sf": _sf_of(SF_DIR),
+            "scaling": {
+                "cores_n": n, "cores_4n": n4,
+                "tput_n": round(scal[n]["events_per_sec"], 1),
+                "tput_4n": round(scal[n4]["events_per_sec"], 1),
+                "seconds_n": round(scal[n]["seconds"], 2),
+                "seconds_4n": round(scal[n4]["seconds"], 2),
+                "efficiency": round(eff, 3),
+            },
+            "replay_events": total,
+            "kernels_mb_s": kernels,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(wal_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

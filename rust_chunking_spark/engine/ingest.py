@@ -61,34 +61,47 @@ class IngestMetrics:
 class CdcIngestJob:
     def __init__(self, spark: SparkSession, lake: BucketedLake,
                  chunk_store: AppendOnlyTable, metrics: AppendOnlyTable,
-                 algo: str = "super", chunk_params: dict | None = None):
+                 algo: str = "super", chunk_params: dict | None = None,
+                 salt_lww: bool = False, collect_metrics: bool = True):
         self.spark = spark
         self.lake = lake
         self.chunk_store = chunk_store
         self.metrics = metrics
         self.algo = algo
         self.chunk_params = chunk_params or {}
+        self.salt_lww = salt_lww
+        self.collect_metrics = collect_metrics
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
 
     # ------------------------------------------------------------ LWW stage
 
     def _lww_latest(self, events: DataFrame) -> DataFrame:
-        """Salted two-phase last-writer-wins by (warc_ts, lsn).
+        """Last-writer-wins by (warc_ts, lsn) via max_by.
 
-        Phase 1 reduces per (url, salt) so a hot url's events combine on many
-        partitions before the single-key shuffle (explicit skew handling per
-        north_rule; AQE alone can't split a single hot reduce key).
+        Default: single groupBy(url) — the hash aggregate's map-side partial
+        combine already reduces duplicate urls before the shuffle, so this is
+        one full-data pass. salt_lww=True adds an explicit (url, salt)
+        pre-phase for pathologically hot single urls (millions of events for
+        one key in a batch), where even partial aggregation per input
+        partition is not enough; AQE cannot split a single reduce key.
         """
         key = F.struct(F.col("warc_ts"), F.col("lsn"))
         ev = F.struct(*[F.col(c) for c in events.columns])
-        salted = events.withColumn("__salt", F.pmod(F.xxhash64(F.col("lsn")),
-                                                    F.lit(SALT_BUCKETS)))
-        phase1 = (salted.groupBy("url", "__salt")
-                  .agg(F.max_by(ev, key).alias("ev"), F.count("*").alias("cnt")))
-        phase2 = (phase1.groupBy("url")
-                  .agg(F.max_by("ev", F.struct(F.col("ev.warc_ts"), F.col("ev.lsn"))).alias("ev"),
-                       F.sum("cnt").alias("n_events")))
-        return phase2.select("ev.*", "n_events")
+        if self.salt_lww:
+            salted = events.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(SALT_BUCKETS)))
+            phase1 = (salted.groupBy("url", "__salt")
+                      .agg(F.max_by(ev, key).alias("ev"),
+                           F.count("*").alias("cnt")))
+            phase2 = (phase1.groupBy("url")
+                      .agg(F.max_by("ev", F.struct(F.col("ev.warc_ts"),
+                                                   F.col("ev.lsn"))).alias("ev"),
+                           F.sum("cnt").alias("n_events")))
+            return phase2.select("ev.*", "n_events")
+        agg = (events.groupBy("url")
+               .agg(F.max_by(ev, key).alias("ev"),
+                    F.count("*").alias("n_events")))
+        return agg.select("ev.*", "n_events")
 
     # ---------------------------------------------------------- epoch apply
 
@@ -99,14 +112,13 @@ class CdcIngestJob:
         m = IngestMetrics(epoch=epoch)
 
         latest = self._lww_latest(events).cache()
-        dirty = [int(r[0]) for r in
-                 latest.select(self.lake.bucket_expr().alias("b")).distinct().collect()]
-
-        batch_stats = latest.agg(
-            F.sum("n_events").alias("seen"),
-            F.count("*").alias("winners")).collect()[0]
-        m.events_seen = int(batch_stats.seen or 0)
-        m.in_batch_superseded = m.events_seen - int(batch_stats.winners or 0)
+        # one action: dirty buckets + batch totals together
+        per_bucket = (latest.groupBy(self.lake.bucket_expr().alias("b"))
+                      .agg(F.sum("n_events").alias("seen"),
+                           F.count("*").alias("winners")).collect())
+        dirty = [int(r.b) for r in per_bucket]
+        m.events_seen = int(sum(r.seen for r in per_bucket))
+        m.in_batch_superseded = m.events_seen - int(sum(r.winners for r in per_bucket))
 
         # cheap page fingerprint for no-op detection (sha3 of html)
         latest = latest.withColumn("__fp", sha3_256_udf(F.col("html")))
@@ -115,14 +127,15 @@ class CdcIngestJob:
         decided = self._decide(latest, cur)
         decided = decided.cache()
 
-        counts = {r["decision"]: r["cnt"] for r in
-                  decided.groupBy("decision").agg(F.count("*").alias("cnt")).collect()}
-        m.applied_insert = counts.get("insert", 0)
-        m.applied_update = counts.get("update", 0)
-        m.applied_delete = counts.get("delete", 0) + counts.get("delete_noexist", 0)
-        m.skipped_noop = counts.get("noop", 0)
-        m.skipped_late = counts.get("skip_late", 0)
-        m.skipped_duplicate = counts.get("skip_duplicate", 0)
+        if self.collect_metrics:
+            counts = {r["decision"]: r["cnt"] for r in
+                      decided.groupBy("decision").agg(F.count("*").alias("cnt")).collect()}
+            m.applied_insert = counts.get("insert", 0)
+            m.applied_update = counts.get("update", 0)
+            m.applied_delete = counts.get("delete", 0) + counts.get("delete_noexist", 0)
+            m.skipped_noop = counts.get("noop", 0)
+            m.skipped_late = counts.get("skip_late", 0)
+            m.skipped_duplicate = counts.get("skip_duplicate", 0)
 
         new_rows = self._merge_rows(decided)
 
@@ -264,31 +277,36 @@ class CdcIngestJob:
         n_parts = max(2, self.spark.sparkContext.defaultParallelism)
         chunked = (changed.repartition(n_parts)   # round-robin: balance UDF work
                    .withColumn("chunks", fp_udf(F.col("ev_html"))))
-        chunks = (chunked.select(F.explode("chunks").alias("c"))
-                  .select(F.col("c.hash").alias("chunk_hash"),
-                          F.col("c.len").alias("len")))
-        chunks = chunks.cache()
-        agg = chunks.agg(F.count("*").alias("n"),
-                         F.coalesce(F.sum("len"), F.lit(0)).alias("b")).collect()[0]
-        total_chunks, total_bytes = int(agg.n), int(agg.b)
-
+        # one aggregation pass: per-hash (multiplicity, len) with a seen-before
+        # marker from the store; totals derived from the same collect
+        uniq = (chunked.select(F.explode("chunks").alias("c"))
+                .groupBy(F.col("c.hash").alias("chunk_hash"))
+                .agg(F.count("*").alias("mult"), F.min("c.len").alias("len")))
         store = self.chunk_store.read(self.spark)
-        uniq = (chunks.groupBy("chunk_hash")
-                .agg(F.min("len").alias("len")))
         if store is not None:
-            new_chunks = uniq.join(store.select("chunk_hash"), "chunk_hash",
-                                   "left_anti")
+            uniq = uniq.join(store.select("chunk_hash")
+                             .withColumn("__seen", F.lit(True)),
+                             "chunk_hash", "left")
         else:
-            new_chunks = uniq
-        new_chunks = new_chunks.withColumn("first_seen_epoch", F.lit(epoch)).cache()
-        agg2 = new_chunks.agg(F.count("*").alias("n"),
-                              F.coalesce(F.sum("len"), F.lit(0)).alias("b")).collect()[0]
+            uniq = uniq.withColumn("__seen", F.lit(None).cast("boolean"))
+        is_new = F.col("__seen").isNull()
+        if self.collect_metrics:
+            uniq = uniq.cache()
+            agg = uniq.agg(
+                F.coalesce(F.sum("mult"), F.lit(0)).alias("total_n"),
+                F.coalesce(F.sum(F.col("mult") * F.col("len")), F.lit(0)).alias("total_b"),
+                F.coalesce(F.sum(F.when(is_new, 1).otherwise(0)), F.lit(0)).alias("new_n"),
+                F.coalesce(F.sum(F.when(is_new, F.col("len")).otherwise(0)), F.lit(0)).alias("new_b"),
+            ).collect()[0]
+        new_chunks = (uniq.filter(is_new)
+                      .select("chunk_hash", "len")
+                      .withColumn("first_seen_epoch", F.lit(epoch)))
         self.chunk_store.append(new_chunks, epoch)
-        new_n, new_b = int(agg2.n), int(agg2.b)
-        chunks.unpersist()
-        new_chunks.unpersist()
-        acc.add(total_chunks)
-        return total_chunks, new_n, total_bytes, new_b
+        if self.collect_metrics:
+            uniq.unpersist()
+            acc.add(int(agg.total_n))
+            return int(agg.total_n), int(agg.new_n), int(agg.total_b), int(agg.new_b)
+        return 0, 0, 0, 0
 
     # ---------------------------------------------------------------- metrics
 
