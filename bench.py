@@ -54,11 +54,13 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
     from rust_chunking_spark.engine.lake import AppendOnlyTable
     from rust_chunking_spark.session import get_spark
 
+    # identical layout at every parallelism level: the scaling measurement
+    # must vary ONLY the core count, not partitioning or file counts
     spark = get_spark(app_name=f"cdc-replay-{cpus}", cpus=cpus,
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=32)
     tmp = tempfile.mkdtemp(prefix=f"lake-{cpus}-")
     try:
-        lake = BucketedLake(f"{tmp}/lake", n_buckets=max(16, cpus))
+        lake = BucketedLake(f"{tmp}/lake", n_buckets=32)
         job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp}/chunks"),
                            AppendOnlyTable(f"{tmp}/metrics"), algo="super",
                            collect_metrics=False)

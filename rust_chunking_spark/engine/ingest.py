@@ -1,27 +1,35 @@
 """CDC ingest: WAL micro-batches -> exactly-once MERGE into the bucketed lake.
 
-Per-epoch pipeline (north_star, BASELINE.json):
+Per-epoch pipeline (north_star, BASELINE.json), engineered so WIDE rows (html)
+are never shuffled — all decisions happen on skinny metadata:
 
-  events(epoch)                                           [source: parquet segment]
-    -> salted two-phase LWW max_by (url, salt) -> (url)   [explicit skew handling:
-                                                           hot urls pre-aggregate
-                                                           before the url shuffle]
-    -> content_fp = sha3(html)                            [cheap; no chunking yet]
-    -> full outer join with lake state, DIRTY BUCKETS ONLY [bucket pruning: O(delta)]
-    -> decide: insert/update/delete/noop/skip_late/skip_duplicate
-       (noop advances (warc_ts, lsn) metadata but skips content work —
-        fingerprint-unchanged re-crawls cost no chunking and no chunk-store I/O)
+  events(epoch)                                [source: parquet segment]
+    -> LWW winners via SKINNY aggregate        [shuffle of (url,ts,lsn,uid)
+       groupBy(url).max(struct(ts,lsn,uid))     ~60B/row, map-side combined]
+    -> broadcast join-back to fetch wide rows  [map-side; no wide shuffle]
+    -> content_fp = sha3(html) pandas UDF      [cheap; no chunking yet]
+    -> decision join: winner meta vs lake meta [COLUMN-PRUNED read of dirty
+       (url, warc_ts, lsn, content_fp,          buckets: html/text never leave
+        deleted) — skinny left join]            the parquet file for this]
+    -> verdicts: insert/update/delete/noop/skip_late/skip_duplicate
+       (noop advances (warc_ts,lsn) metadata but skips content work)
+    -> row assembly, all via broadcast semi/anti joins (map-side):
+         content rows   = winners  ⋉ applied(insert|update)
+         noop rows      = cur wide ⋉ noop urls, metadata overridden
+         delete rows    = tombstones from meta
+         carry rows     = cur wide anti-join applied urls (pass-through)
     -> chunk ONLY insert/update rows (round-robin repartition balances the
-       pandas-UDF compute regardless of domain skew)
+       pandas-UDF compute regardless of domain/url skew)
     -> chunk store: left_anti on hash -> append new chunks
     -> metrics + per-bucket lineage appended
     -> lake.overwrite_buckets(...)  [atomic snapshot flip = commit marker
-                                     (epoch); replay of a committed epoch is
-                                     a no-op => exactly-once]
+       (epoch); replaying a committed epoch is a no-op => exactly-once]
 
-Scale notes: every join is url-equi (bucket-prunable); the only UDF runs on the
-changed subset; AQE skew-join stays on as backstop; nothing ever collects rows
-to the driver except tiny per-epoch count aggregates.
+Scale notes (100 TB): the only wide shuffles are the final bucket repartition
+for the write and the fallback when a batch's winner set exceeds
+``broadcast_limit`` (then Spark's SMJ + AQE skew split take over). Everything
+else is map-side or skinny. The chunking UDF is the dominant compute and runs
+only on truly-changed rows.
 """
 
 from __future__ import annotations
@@ -33,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.chunking import fingerprint_udf, sha3_256_udf
 from .lake import AppendOnlyTable, BucketedLake
 
-LAKE_CONTENT_COLS = ["html", "text", "lang"]
 SALT_BUCKETS = 16
 
 
@@ -62,7 +69,8 @@ class CdcIngestJob:
     def __init__(self, spark: SparkSession, lake: BucketedLake,
                  chunk_store: AppendOnlyTable, metrics: AppendOnlyTable,
                  algo: str = "super", chunk_params: dict | None = None,
-                 salt_lww: bool = False, collect_metrics: bool = True):
+                 salt_lww: bool = False, collect_metrics: bool = True,
+                 broadcast_limit: int = 2_000_000):
         self.spark = spark
         self.lake = lake
         self.chunk_store = chunk_store
@@ -71,37 +79,46 @@ class CdcIngestJob:
         self.chunk_params = chunk_params or {}
         self.salt_lww = salt_lww
         self.collect_metrics = collect_metrics
+        self.broadcast_limit = broadcast_limit
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
+
+    def _bcast(self, df: DataFrame, n_rows: int) -> DataFrame:
+        """Broadcast hint while the side fits; beyond the limit let AQE pick
+        (sort-merge + skew split) — the 10^10-event fallback."""
+        return F.broadcast(df) if n_rows <= self.broadcast_limit else df
 
     # ------------------------------------------------------------ LWW stage
 
-    def _lww_latest(self, events: DataFrame) -> DataFrame:
-        """Last-writer-wins by (warc_ts, lsn) via max_by.
+    def _lww_latest(self, events: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Last-writer-wins by (warc_ts, lsn): skinny aggregate + join-back.
 
-        Default: single groupBy(url) — the hash aggregate's map-side partial
-        combine already reduces duplicate urls before the shuffle, so this is
-        one full-data pass. salt_lww=True adds an explicit (url, salt)
-        pre-phase for pathologically hot single urls (millions of events for
-        one key in a batch), where even partial aggregation per input
-        partition is not enough; AQE cannot split a single reduce key.
+        Only (url, warc_ts, lsn, uid) ever enters the shuffle; winners' wide
+        rows are fetched with a broadcast join-back. uid breaks ties between
+        exact duplicate events (either copy is content-identical).
+
+        salt_lww adds an (url, salt) pre-phase for pathologically hot single
+        urls (millions of events for ONE key in a batch) where per-partition
+        partial aggregation is not enough; AQE cannot split one reduce key.
         """
-        key = F.struct(F.col("warc_ts"), F.col("lsn"))
-        ev = F.struct(*[F.col(c) for c in events.columns])
+        ev = events.withColumn("__uid", F.monotonically_increasing_id())
+        key = F.struct(F.col("warc_ts"), F.col("lsn"), F.col("__uid"))
+        skinny = ev.select("url", "warc_ts", "lsn", "__uid")
         if self.salt_lww:
-            salted = events.withColumn(
-                "__salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(SALT_BUCKETS)))
-            phase1 = (salted.groupBy("url", "__salt")
-                      .agg(F.max_by(ev, key).alias("ev"),
-                           F.count("*").alias("cnt")))
-            phase2 = (phase1.groupBy("url")
-                      .agg(F.max_by("ev", F.struct(F.col("ev.warc_ts"),
-                                                   F.col("ev.lsn"))).alias("ev"),
-                           F.sum("cnt").alias("n_events")))
-            return phase2.select("ev.*", "n_events")
-        agg = (events.groupBy("url")
-               .agg(F.max_by(ev, key).alias("ev"),
-                    F.count("*").alias("n_events")))
-        return agg.select("ev.*", "n_events")
+            salted = skinny.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("__uid")), F.lit(SALT_BUCKETS)))
+            p1 = (salted.groupBy("url", "__salt")
+                  .agg(F.max(key).alias("k"), F.count("*").alias("cnt")))
+            keys = (p1.groupBy("url")
+                    .agg(F.max("k").alias("k"), F.sum("cnt").alias("n_events")))
+        else:
+            keys = (skinny.groupBy("url")
+                    .agg(F.max(key).alias("k"), F.count("*").alias("n_events")))
+        keys = keys.select("url", "k.*", "n_events").cache()
+        n_winners = keys.count()
+        latest = ev.join(
+            self._bcast(keys.select("url", "__uid", "n_events"), n_winners),
+            ["url", "__uid"], "inner").drop("__uid")
+        return latest, keys
 
     # ---------------------------------------------------------- epoch apply
 
@@ -111,162 +128,154 @@ class CdcIngestJob:
             return None
         m = IngestMetrics(epoch=epoch)
 
-        latest = self._lww_latest(events).cache()
-        # one action: dirty buckets + batch totals together
+        latest, keys = self._lww_latest(events)
+        latest = latest.withColumn("__fp", sha3_256_udf(F.col("html"))).cache()
+
         per_bucket = (latest.groupBy(self.lake.bucket_expr().alias("b"))
                       .agg(F.sum("n_events").alias("seen"),
                            F.count("*").alias("winners")).collect())
         dirty = [int(r.b) for r in per_bucket]
         m.events_seen = int(sum(r.seen for r in per_bucket))
-        m.in_batch_superseded = m.events_seen - int(sum(r.winners for r in per_bucket))
+        n_winners = int(sum(r.winners for r in per_bucket))
+        m.in_batch_superseded = m.events_seen - n_winners
 
-        # cheap page fingerprint for no-op detection (sha3 of html)
-        latest = latest.withColumn("__fp", sha3_256_udf(F.col("html")))
+        # --- skinny decision join: column-pruned lake read (no html/text IO)
+        cur_wide = self.lake.read(self.spark, buckets=dirty)
+        extras = [c for c in latest.columns
+                  if c not in {"url", "warc_ts", "lsn", "op", "html", "text",
+                               "lang", "__fp", "n_events", "epoch"}]
+        ev_meta = latest.select(
+            "url", F.col("warc_ts").alias("ev_warc_ts"),
+            F.col("lsn").alias("ev_lsn"), F.col("op").alias("ev_op"),
+            F.col("__fp").alias("ev_fp"),
+            *[F.col(c).alias(f"ev_x_{c}") for c in extras])
+        if cur_wide is None:
+            decided = (ev_meta
+                       .withColumn("cur_warc_ts", F.lit(None).cast("timestamp"))
+                       .withColumn("cur_lsn", F.lit(None).cast("long"))
+                       .withColumn("cur_fp", F.lit(None).cast("binary"))
+                       .withColumn("cur_deleted", F.lit(None).cast("boolean"))
+                       .withColumn("cur_exists", F.lit(False)))
+        else:
+            cur_meta = cur_wide.select(
+                "url", F.col("warc_ts").alias("cur_warc_ts"),
+                F.col("lsn").alias("cur_lsn"),
+                F.col("content_fp").alias("cur_fp"),
+                F.col("deleted").alias("cur_deleted"),
+                F.lit(True).alias("cur_exists"))
+            decided = (ev_meta.join(cur_meta, "url", "left")
+                       .withColumn("cur_exists",
+                                   F.coalesce(F.col("cur_exists"), F.lit(False))))
+        decided = decided.withColumn("decision", self._decision_expr()).cache()
 
-        cur = self.lake.read(self.spark, buckets=dirty)
-        decided = self._decide(latest, cur)
-        decided = decided.cache()
+        verdicts = {r["decision"]: r["cnt"] for r in
+                    decided.groupBy("decision")
+                    .agg(F.count("*").alias("cnt")).collect()}
+        m.applied_insert = verdicts.get("insert", 0)
+        m.applied_update = verdicts.get("update", 0)
+        m.applied_delete = (verdicts.get("delete", 0)
+                            + verdicts.get("delete_noexist", 0))
+        m.skipped_noop = verdicts.get("noop", 0)
+        m.skipped_late = verdicts.get("skip_late", 0)
+        m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
 
-        if self.collect_metrics:
-            counts = {r["decision"]: r["cnt"] for r in
-                      decided.groupBy("decision").agg(F.count("*").alias("cnt")).collect()}
-            m.applied_insert = counts.get("insert", 0)
-            m.applied_update = counts.get("update", 0)
-            m.applied_delete = counts.get("delete", 0) + counts.get("delete_noexist", 0)
-            m.skipped_noop = counts.get("noop", 0)
-            m.skipped_late = counts.get("skip_late", 0)
-            m.skipped_duplicate = counts.get("skip_duplicate", 0)
+        new_rows, changed = self._assemble_rows(latest, decided, cur_wide,
+                                                n_winners, extras)
 
-        new_rows = self._merge_rows(decided)
-
-        # chunk only truly-changed content; round-robin balances UDF compute
-        changed = (decided.filter(F.col("decision").isin("insert", "update"))
-                   .select("url", "ev_html"))
         chunk_stats = self._update_chunk_store(changed, epoch)
         m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
 
-        self._append_metrics(decided, m, epoch)
+        self._append_metrics(decided, epoch)
 
-        schema_ddl = self._schema_ddl(new_rows)
-        stats = {"__schema": schema_ddl, **{k: v for k, v in
-                                            dataclasses.asdict(m).items()}}
+        stats = {"__schema": new_rows.schema.json(),
+                 **dataclasses.asdict(m)}
         self.lake.overwrite_buckets(new_rows, dirty, epoch, stats)
         latest.unpersist()
         decided.unpersist()
+        keys.unpersist()
         return m
 
     # ------------------------------------------------------------- decisions
 
-    def _decide(self, latest: DataFrame, cur: DataFrame | None) -> DataFrame:
-        ev = latest.select(
-            F.col("url"),
-            F.col("warc_ts").alias("ev_warc_ts"),
-            F.col("lsn").alias("ev_lsn"),
-            F.col("op").alias("ev_op"),
-            F.col("html").alias("ev_html"),
-            F.col("text").alias("ev_text"),
-            F.col("lang").alias("ev_lang"),
-            F.col("__fp").alias("ev_fp"),
-            *[F.col(c).alias(f"ev_{c}") for c in latest.columns
-              if c not in {"url", "warc_ts", "lsn", "op", "html", "text",
-                           "lang", "__fp", "n_events", "epoch"}],
-        )
-        extra_ev_cols = [c for c in ev.columns
-                         if c.startswith("ev_") and c not in
-                         {"ev_warc_ts", "ev_lsn", "ev_op", "ev_html", "ev_text",
-                          "ev_lang", "ev_fp"}]
-        if cur is None:
-            j = ev.withColumn("cur_url", F.lit(None).cast("string"))
-            for c, t in [("warc_ts", "timestamp"), ("lsn", "long"),
-                         ("html", "binary"), ("text", "string"),
-                         ("lang", "string"), ("content_fp", "binary"),
-                         ("deleted", "boolean")]:
-                j = j.withColumn(f"cur_{c}", F.lit(None).cast(t))
-            cur_extra = []
-        else:
-            cur_pref = cur.select(
-                F.col("url").alias("cur_url"),
-                *[F.col(c).alias(f"cur_{c}") for c in cur.columns if c != "url"])
-            cur_extra = [c for c in cur_pref.columns if c not in
-                         {"cur_url", "cur_warc_ts", "cur_lsn", "cur_html",
-                          "cur_text", "cur_lang", "cur_content_fp", "cur_deleted"}]
-            j = ev.join(cur_pref, ev.url == cur_pref.cur_url, "full_outer")
-
-        ev_key_newer = (
+    @staticmethod
+    def _decision_expr():
+        ev_newer = (
             (F.col("ev_warc_ts") > F.col("cur_warc_ts"))
             | ((F.col("ev_warc_ts") == F.col("cur_warc_ts"))
                & (F.col("ev_lsn") > F.col("cur_lsn"))))
-        ev_key_equal = ((F.col("ev_warc_ts") == F.col("cur_warc_ts"))
-                        & (F.col("ev_lsn") == F.col("cur_lsn")))
-
-        decision = (
-            F.when(F.col("ev_lsn").isNull(), F.lit("carry"))
-            .when(F.col("cur_url").isNull(),
-                  F.when(F.col("ev_op") == "D", F.lit("delete_noexist"))
-                  .otherwise(F.lit("insert")))
-            .when(ev_key_equal, F.lit("skip_duplicate"))
-            .when(~ev_key_newer, F.lit("skip_late"))
+        ev_equal = ((F.col("ev_warc_ts") == F.col("cur_warc_ts"))
+                    & (F.col("ev_lsn") == F.col("cur_lsn")))
+        return (
+            F.when(~F.col("cur_exists"),
+                   F.when(F.col("ev_op") == "D", F.lit("delete_noexist"))
+                   .otherwise(F.lit("insert")))
+            .when(ev_equal, F.lit("skip_duplicate"))
+            .when(~ev_newer, F.lit("skip_late"))
             .when(F.col("ev_op") == "D", F.lit("delete"))
             .when(F.col("cur_deleted"), F.lit("insert"))
-            .when(F.col("ev_fp") == F.col("cur_content_fp"), F.lit("noop"))
+            .when(F.col("ev_fp") == F.col("cur_fp"), F.lit("noop"))
             .otherwise(F.lit("update")))
-        j = j.withColumn("decision", decision)
-        j = j.withColumn("url", F.coalesce(F.col("url"), F.col("cur_url")))
-        # remember extra (schema-evolution) column names for row construction
-        j = j.withColumn("__extra_ev", F.lit(",".join(extra_ev_cols)))
-        return j
 
-    def _merge_rows(self, decided: DataFrame) -> DataFrame:
-        """Build the post-merge rows for the dirty buckets."""
-        extra_ev = [c[3:] for c in decided.columns
-                    if c.startswith("ev_") and c not in
-                    {"ev_warc_ts", "ev_lsn", "ev_op", "ev_html", "ev_text",
-                     "ev_lang", "ev_fp"}]
-        extra_cur = [c[4:] for c in decided.columns
-                     if c.startswith("cur_") and c not in
-                     {"cur_url", "cur_warc_ts", "cur_lsn", "cur_html",
-                      "cur_text", "cur_lang", "cur_content_fp", "cur_deleted"}]
-        extras = list(dict.fromkeys(extra_cur + extra_ev))
+    # ---------------------------------------------------------- row assembly
 
-        applied = F.col("decision").isin("insert", "update", "delete",
-                                         "delete_noexist", "noop")
-        is_del = F.col("decision").isin("delete", "delete_noexist")
-        is_content = F.col("decision").isin("insert", "update")
+    def _assemble_rows(self, latest: DataFrame, decided: DataFrame,
+                       cur_wide: DataFrame | None, n_winners: int,
+                       extras: list[str]
+                       ) -> tuple[DataFrame, DataFrame]:
+        """Post-merge rows for the dirty buckets + the changed-content subset.
 
-        def pick(col, cur_col, null_on_delete=True):
-            expr = (F.when(is_content, F.col(col))
-                    .when(F.col("decision") == "noop", F.col(cur_col)))
-            if not null_on_delete:
-                expr = expr.when(is_del, F.col(col))
-            return expr.otherwise(F.col(cur_col))
+        Every join here is a broadcast semi/anti join on urls (map-side);
+        wide rows stream straight from their source files to the writer.
+        """
+        applied_urls = (decided.filter(F.col("decision").isin(
+            "insert", "update", "delete", "delete_noexist", "noop"))
+            .select("url", "decision"))
 
-        rows = decided.select(
-            F.col("url"),
-            F.when(applied, F.col("ev_warc_ts")).otherwise(F.col("cur_warc_ts"))
-             .alias("warc_ts"),
-            F.when(applied, F.col("ev_lsn")).otherwise(F.col("cur_lsn"))
-             .alias("lsn"),
-            F.when(is_del, F.lit(None).cast("binary"))
-             .otherwise(pick("ev_html", "cur_html")).alias("html"),
-            F.when(is_del, F.lit(None).cast("string"))
-             .otherwise(pick("ev_text", "cur_text")).alias("text"),
-            F.when(is_del, F.lit(None).cast("string"))
-             .otherwise(pick("ev_lang", "cur_lang")).alias("lang"),
-            F.when(is_del, F.lit(None).cast("binary"))
-             .otherwise(F.when(is_content, F.col("ev_fp"))
-                        .otherwise(F.col("cur_content_fp"))).alias("content_fp"),
-            F.when(applied, is_del).otherwise(
-                F.coalesce(F.col("cur_deleted"), F.lit(False))).alias("deleted"),
-            *[
-                F.when(applied & ~is_del,
-                       F.col(f"ev_{c}") if f"ev_{c}" in decided.columns
-                       else F.lit(None))
-                .otherwise(F.col(f"cur_{c}") if f"cur_{c}" in decided.columns
-                           else F.lit(None)).alias(c)
-                for c in extras
-            ],
-        )
-        return rows
+        # content rows: winners with decision insert/update
+        iu = applied_urls.filter(F.col("decision").isin("insert", "update"))
+        content = latest.join(self._bcast(iu.select("url"), n_winners), "url",
+                              "left_semi")
+        content_rows = content.select(
+            "url", "warc_ts", "lsn", "html", "text", "lang",
+            F.col("__fp").alias("content_fp"), F.lit(False).alias("deleted"),
+            *extras)
+
+        # tombstones (delete, delete_noexist): metadata only
+        del_rows = (decided.filter(F.col("decision").isin(
+            "delete", "delete_noexist"))
+            .select("url", F.col("ev_warc_ts").alias("warc_ts"),
+                    F.col("ev_lsn").alias("lsn"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("binary").alias("content_fp"),
+                    F.lit(True).alias("deleted"),
+                    *[F.lit(None).cast(latest.schema[c].dataType).alias(c)
+                      for c in extras]))
+
+        out = content_rows.unionByName(del_rows, allowMissingColumns=True)
+        if cur_wide is not None:
+            # noop: current content; event metadata + extras advance
+            noop_meta = (decided.filter(F.col("decision") == "noop")
+                         .select("url", "ev_warc_ts", "ev_lsn",
+                                 *[f"ev_x_{c}" for c in extras]))
+            noop_rows = (cur_wide.join(self._bcast(noop_meta, n_winners),
+                                       "url", "inner")
+                         .withColumn("warc_ts", F.col("ev_warc_ts"))
+                         .withColumn("lsn", F.col("ev_lsn")))
+            for c in extras:
+                noop_rows = noop_rows.withColumn(c, F.col(f"ev_x_{c}"))
+            keep = list(dict.fromkeys(cur_wide.columns + extras))
+            noop_rows = noop_rows.select(*keep)
+            # carry: current rows not touched by an applied verdict
+            carry = cur_wide.join(
+                self._bcast(applied_urls.select("url"), n_winners),
+                "url", "left_anti")
+            out = (carry.unionByName(noop_rows, allowMissingColumns=True)
+                   .unionByName(out, allowMissingColumns=True))
+
+        changed = content.select("url", "html")
+        return out, changed
 
     # ------------------------------------------------------------ chunk store
 
@@ -276,9 +285,8 @@ class CdcIngestJob:
 
         n_parts = max(2, self.spark.sparkContext.defaultParallelism)
         chunked = (changed.repartition(n_parts)   # round-robin: balance UDF work
-                   .withColumn("chunks", fp_udf(F.col("ev_html"))))
-        # one aggregation pass: per-hash (multiplicity, len) with a seen-before
-        # marker from the store; totals derived from the same collect
+                   .withColumn("chunks", fp_udf(F.col("html"))))
+        # one aggregation pass: per-hash (multiplicity, len) + seen-before flag
         uniq = (chunked.select(F.explode("chunks").alias("c"))
                 .groupBy(F.col("c.hash").alias("chunk_hash"))
                 .agg(F.count("*").alias("mult"), F.min("c.len").alias("len")))
@@ -310,9 +318,8 @@ class CdcIngestJob:
 
     # ---------------------------------------------------------------- metrics
 
-    def _append_metrics(self, decided: DataFrame, m: IngestMetrics,
-                        epoch: int) -> None:
-        lineage = (decided.filter(F.col("decision") != "carry")
+    def _append_metrics(self, decided: DataFrame, epoch: int) -> None:
+        lineage = (decided
                    .withColumn("bucket", self.lake.bucket_expr())
                    .groupBy("bucket", "decision")
                    .agg(F.count("*").alias("cnt"))
@@ -334,7 +341,3 @@ class CdcIngestJob:
             if r is not None:
                 out.append(r)
         return out
-
-    @staticmethod
-    def _schema_ddl(df: DataFrame) -> str:
-        return df.schema.json()
