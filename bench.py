@@ -73,7 +73,12 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
         warm.count()
         warm.count()
         t0 = time.perf_counter()
-        results = job.run(wal_dir, list(range(N_EPOCHS)))
+        results = []
+        for ep in range(N_EPOCHS):
+            te = time.perf_counter()
+            r = job.run(wal_dir, [ep])
+            results.extend(r)
+            print(f"EPOCH {ep}: {time.perf_counter()-te:.1f}s", file=sys.stderr)
         dt = time.perf_counter() - t0
         seen = sum(m.events_seen for m in results) or total_events
         return {"cpus": cpus, "seconds": dt, "events": seen,

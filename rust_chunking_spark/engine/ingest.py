@@ -38,7 +38,8 @@ import dataclasses
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.chunking import fingerprint_udf, sha3_256_udf
+from ..functions.chunking import (FP_CHUNK_SCHEMA, fingerprint_udf,
+                                  sha3_256_udf)
 from .lake import AppendOnlyTable, BucketedLake
 
 SALT_BUCKETS = 16
@@ -128,9 +129,14 @@ class CdcIngestJob:
             return None
         m = IngestMetrics(epoch=epoch)
 
+        # NOTE deliberately NO .cache() on any wide dataframe: materializing
+        # 17KB-binary rows into the block manager anti-scales catastrophically
+        # under many concurrent tasks (measured 65s vs 4s of compute at 32
+        # threads). Wide rows are re-scanned from (page-cached) parquet with
+        # column pruning instead; only skinny metadata is cached.
         latest, keys = self._lww_latest(events)
-        latest = latest.withColumn("__fp", sha3_256_udf(F.col("html"))).cache()
 
+        # skinny pass: dirty buckets + batch totals (column-pruned, no sha3)
         per_bucket = (latest.groupBy(self.lake.bucket_expr().alias("b"))
                       .agg(F.sum("n_events").alias("seen"),
                            F.count("*").alias("winners")).collect())
@@ -139,7 +145,8 @@ class CdcIngestJob:
         n_winners = int(sum(r.winners for r in per_bucket))
         m.in_batch_superseded = m.events_seen - n_winners
 
-        # --- skinny decision join: column-pruned lake read (no html/text IO)
+        # --- skinny decision join: column-pruned lake read (no html/text IO);
+        # sha3 runs exactly once here, result lives in the skinny cache
         cur_wide = self.lake.read(self.spark, buckets=dirty)
         extras = [c for c in latest.columns
                   if c not in {"url", "warc_ts", "lsn", "op", "html", "text",
@@ -147,7 +154,7 @@ class CdcIngestJob:
         ev_meta = latest.select(
             "url", F.col("warc_ts").alias("ev_warc_ts"),
             F.col("lsn").alias("ev_lsn"), F.col("op").alias("ev_op"),
-            F.col("__fp").alias("ev_fp"),
+            sha3_256_udf(F.col("html")).alias("ev_fp"),
             *[F.col(c).alias(f"ev_x_{c}") for c in extras])
         if cur_wide is None:
             decided = (ev_meta
@@ -179,18 +186,20 @@ class CdcIngestJob:
         m.skipped_late = verdicts.get("skip_late", 0)
         m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
 
-        new_rows, changed = self._assemble_rows(latest, decided, cur_wide,
+        new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
                                                 n_winners, extras)
 
-        chunk_stats = self._update_chunk_store(changed, epoch)
-        m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
-
         self._append_metrics(decided, epoch)
-
         stats = {"__schema": new_rows.schema.json(),
                  **dataclasses.asdict(m)}
-        self.lake.overwrite_buckets(new_rows, dirty, epoch, stats)
-        latest.unpersist()
+        merge_files = self.lake.overwrite_buckets(new_rows, dirty, epoch, stats)
+
+        # derive the chunk store from the just-written files: a column-pruned
+        # read of (url, chunks) only — html never re-read. Crash between the
+        # lake commit and this append is repaired by run() via snapshot stats.
+        chunk_stats = self._update_chunk_store(merge_files, iu_urls, n_winners,
+                                               epoch)
+        m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
         decided.unpersist()
         keys.unpersist()
         return m
@@ -231,13 +240,16 @@ class CdcIngestJob:
             "insert", "update", "delete", "delete_noexist", "noop"))
             .select("url", "decision"))
 
-        # content rows: winners with decision insert/update
-        iu = applied_urls.filter(F.col("decision").isin("insert", "update"))
-        content = latest.join(self._bcast(iu.select("url"), n_winners), "url",
-                              "left_semi")
+        # content rows: winners with decision insert/update; the page
+        # fingerprint rides in on the broadcast (sha3 is never recomputed)
+        iu = (decided.filter(F.col("decision").isin("insert", "update"))
+              .select("url", "ev_fp"))
+        content = latest.join(self._bcast(iu, n_winners), "url", "inner")
+        fp_udf = fingerprint_udf(self.algo, **self.chunk_params)
         content_rows = content.select(
             "url", "warc_ts", "lsn", "html", "text", "lang",
-            F.col("__fp").alias("content_fp"), F.lit(False).alias("deleted"),
+            F.col("ev_fp").alias("content_fp"), F.lit(False).alias("deleted"),
+            fp_udf(F.col("html")).alias("chunks"),
             *extras)
 
         # tombstones (delete, delete_noexist): metadata only
@@ -250,10 +262,12 @@ class CdcIngestJob:
                     F.lit(None).cast("string").alias("lang"),
                     F.lit(None).cast("binary").alias("content_fp"),
                     F.lit(True).alias("deleted"),
+                    F.lit(None).cast(FP_CHUNK_SCHEMA).alias("chunks"),
                     *[F.lit(None).cast(latest.schema[c].dataType).alias(c)
                       for c in extras]))
 
         out = content_rows.unionByName(del_rows, allowMissingColumns=True)
+        iu_urls = iu.select("url")
         if cur_wide is not None:
             # noop: current content; event metadata + extras advance
             noop_meta = (decided.filter(F.col("decision") == "noop")
@@ -274,18 +288,27 @@ class CdcIngestJob:
             out = (carry.unionByName(noop_rows, allowMissingColumns=True)
                    .unionByName(out, allowMissingColumns=True))
 
-        changed = content.select("url", "html")
-        return out, changed
+        return out, iu_urls
 
     # ------------------------------------------------------------ chunk store
 
-    def _update_chunk_store(self, changed: DataFrame, epoch: int):
+    def _update_chunk_store(self, merge_files: list[str], iu_urls: DataFrame,
+                            n_winners: int, epoch: int):
         acc = self.rows_chunked_acc
-        fp_udf = fingerprint_udf(self.algo, **self.chunk_params)
-
-        n_parts = max(2, self.spark.sparkContext.defaultParallelism)
-        chunked = (changed.repartition(n_parts)   # round-robin: balance UDF work
-                   .withColumn("chunks", fp_udf(F.col("html"))))
+        if epoch in self.chunk_store.committed_epochs():
+            return 0, 0, 0, 0
+        written = self.lake.read_files(self.spark, merge_files)
+        if written is None:
+            self.chunk_store.append(
+                self.spark.createDataFrame(
+                    [], "chunk_hash binary, len long, first_seen_epoch long"),
+                epoch)
+            return 0, 0, 0, 0
+        # column-pruned: only (url, chunks) leave the parquet files; restrict
+        # to this epoch's freshly chunked rows (carry/noop chunks are already
+        # in the store from prior epochs)
+        chunked = (written.select("url", "chunks")
+                   .join(self._bcast(iu_urls, n_winners), "url", "left_semi"))
         # one aggregation pass: per-hash (multiplicity, len) + seen-before flag
         uniq = (chunked.select(F.explode("chunks").alias("c"))
                 .groupBy(F.col("c.hash").alias("chunk_hash"))
@@ -340,4 +363,33 @@ class CdcIngestJob:
             r = self.apply_epoch(events, ep)
             if r is not None:
                 out.append(r)
+            else:
+                self._repair_chunk_store(ep)
         return out
+
+    def _repair_chunk_store(self, epoch: int) -> None:
+        """Crash between lake commit and chunk-store append: re-derive the
+        epoch's chunk delta from the merge files recorded in snapshot stats."""
+        if epoch in self.chunk_store.committed_epochs():
+            return
+        stats = self.lake.current_snapshot().get("stats", {}).get(str(epoch))
+        if stats is None:
+            return
+        files = stats.get("merge_files", [])
+        written = self.lake.read_files(self.spark, files)
+        if written is None:
+            self.chunk_store.append(
+                self.spark.createDataFrame(
+                    [], "chunk_hash binary, len long, first_seen_epoch long"),
+                epoch)
+            return
+        # without the iu url list, dedup against the store covers carry rows
+        uniq = (written.select(F.explode("chunks").alias("c"))
+                .groupBy(F.col("c.hash").alias("chunk_hash"))
+                .agg(F.min("c.len").alias("len")))
+        store = self.chunk_store.read(self.spark)
+        if store is not None:
+            uniq = uniq.join(store.select("chunk_hash"), "chunk_hash",
+                             "left_anti")
+        self.chunk_store.append(
+            uniq.withColumn("first_seen_epoch", F.lit(epoch)), epoch)

@@ -103,11 +103,13 @@ class BucketedLake:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
 
     def overwrite_buckets(self, df: DataFrame, dirty_buckets: list[int],
-                          epoch: int, stats: dict | None = None) -> None:
+                          epoch: int, stats: dict | None = None) -> list[str]:
         """MERGE commit: replace the named buckets with df's rows, atomically.
 
         df must contain only rows whose bucket is in dirty_buckets. Rows are
         written one parquet directory per bucket so later reads prune cleanly.
+        Returns the relative paths written this merge (also recorded in the
+        snapshot stats as ``merge_files`` for crash repair of derived tables).
         """
         snap = self.current_snapshot()
         new_files = dict(snap["files"])
@@ -123,16 +125,27 @@ class BucketedLake:
                 written[b] = [f"merge-{token}/{entry}"]
         for b in dirty_buckets:
             new_files[str(b)] = written.get(b, [])   # empty bucket -> no files
+        merge_files = [f for fl in written.values() for f in fl]
+        stats = dict(stats or {})
+        schema = stats.pop("__schema", snap["schema"])
+        stats["merge_files"] = merge_files
         snap2 = {
             "version": snap["version"] + 1,
             "files": new_files,
             "committed_epochs": sorted(set(snap["committed_epochs"]) | {epoch}),
-            "schema": stats.pop("__schema") if stats and "__schema" in stats
-                      else snap["schema"],
-            "stats": {**snap.get("stats", {}), str(epoch): stats or {}},
+            "schema": schema,
+            "stats": {**snap.get("stats", {}), str(epoch): stats},
             "ts": time.time(),
         }
         self._commit(snap2)
+        return merge_files
+
+    def read_files(self, spark: SparkSession, rel_files: list[str]
+                   ) -> DataFrame | None:
+        if not rel_files:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.path, "data", f) for f in rel_files])
 
     def init_schema(self, schema_ddl: str) -> None:
         snap = self.current_snapshot()
