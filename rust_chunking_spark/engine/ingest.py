@@ -82,6 +82,7 @@ class CdcIngestJob:
         self.collect_metrics = collect_metrics
         self.broadcast_limit = broadcast_limit
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
+        self._pending_lineage: list = []
 
     def _bcast(self, df: DataFrame, n_rows: int) -> DataFrame:
         """Broadcast hint while the side fits; beyond the limit let AQE pick
@@ -175,16 +176,17 @@ class CdcIngestJob:
                                    F.coalesce(F.col("cur_exists"), F.lit(False))))
         decided = decided.withColumn("decision", self._decision_expr()).cache()
 
-        verdicts = {r["decision"]: r["cnt"] for r in
-                    decided.groupBy("decision")
-                    .agg(F.count("*").alias("cnt")).collect()}
-        m.applied_insert = verdicts.get("insert", 0)
-        m.applied_update = verdicts.get("update", 0)
-        m.applied_delete = (verdicts.get("delete", 0)
-                            + verdicts.get("delete_noexist", 0))
-        m.skipped_noop = verdicts.get("noop", 0)
-        m.skipped_late = verdicts.get("skip_late", 0)
-        m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
+        if self.collect_metrics:
+            verdicts = {r["decision"]: r["cnt"] for r in
+                        decided.groupBy("decision")
+                        .agg(F.count("*").alias("cnt")).collect()}
+            m.applied_insert = verdicts.get("insert", 0)
+            m.applied_update = verdicts.get("update", 0)
+            m.applied_delete = (verdicts.get("delete", 0)
+                                + verdicts.get("delete_noexist", 0))
+            m.skipped_noop = verdicts.get("noop", 0)
+            m.skipped_late = verdicts.get("skip_late", 0)
+            m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
 
         new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
                                                 n_winners, extras)
@@ -347,7 +349,18 @@ class CdcIngestJob:
                    .groupBy("bucket", "decision")
                    .agg(F.count("*").alias("cnt"))
                    .withColumn("epoch", F.lit(epoch)))
-        self.metrics.append(lineage, epoch)
+        if self.collect_metrics:
+            self.metrics.append(lineage, epoch)
+        else:
+            # steady-state mode: buffer lineage plans, flush in one write
+            self._pending_lineage.append((epoch, lineage.collect()))
+
+    def flush_metrics(self) -> None:
+        """Write lineage buffered by collect_metrics=False mode."""
+        for epoch, rows in self._pending_lineage:
+            if rows:
+                self.metrics.append(self.spark.createDataFrame(rows), epoch)
+        self._pending_lineage = []
 
     # ------------------------------------------------------------------- run
 
