@@ -1,0 +1,46 @@
+"""Structured Streaming ingest: same final state as batch replay + oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_chunking_spark.datagen import expected_final_state, generate_wal
+from rust_chunking_spark.engine import BucketedLake, CdcIngestJob
+from rust_chunking_spark.engine.lake import AppendOnlyTable
+from rust_chunking_spark.streaming import start_stream_ingest
+
+N_EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def wal():
+    return generate_wal(n_pages=0, n_epochs=N_EPOCHS, events_per_epoch=40,
+                        seed=99)
+
+
+def test_stream_ingest_matches_oracle(spark, wal, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(wal):
+        df = spark.createDataFrame([dict(e) for e in events])
+        df.write.mode("overwrite").parquet(f"{wal_dir}/epoch={ep:06d}")
+
+    lake = BucketedLake(str(tmp_path / "lake"), n_buckets=8)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(str(tmp_path / "chunks")),
+                       AppendOnlyTable(str(tmp_path / "metrics")))
+    q = start_stream_ingest(spark, job, wal_dir, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=16)
+    q.awaitTermination(300)
+
+    assert job.lake.committed_epochs() == set(range(N_EPOCHS))
+    oracle = expected_final_state(wal)
+    rows = {r.url: r for r in lake.read(spark).filter(~F.col("deleted")).collect()}
+    assert set(rows) == set(oracle)
+    for url, exp in oracle.items():
+        assert rows[url].text == exp["text"]
+        assert rows[url].lsn == exp["lsn"]
+
+    # restart with the same checkpoint: nothing new to process, state stable
+    v1 = lake.current_snapshot()["version"]
+    q2 = start_stream_ingest(spark, job, wal_dir, str(tmp_path / "ckpt"),
+                             max_files_per_trigger=16)
+    q2.awaitTermination(120)
+    assert lake.current_snapshot()["version"] == v1
