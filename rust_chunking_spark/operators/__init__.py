@@ -1,0 +1,6 @@
+from .text_dedup import (  # noqa: F401
+    lsh_duplicate_pairs,
+    minhash_signature_udf,
+    simhash64_udf,
+)
+from .similarity import brute_force_topk, hyperplane_lsh_buckets  # noqa: F401

@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a probe vector; JVM-side
+  higher-order functions only (zip_with/aggregate), no Python in the path.
+  This is the baseline and the verifier for approximate methods.
+- hyperplane_lsh_buckets: random-hyperplane signatures (sign of dot products
+  with seeded Gaussian planes, computed in a vectorized pandas UDF) — the
+  scale path: candidates share a bucket, so search cost is bucket-local. At
+  100 TB this is shuffle-by-bucket (linear) instead of an all-pairs join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _cosine(col_a: str, col_b: str):
+    dot = F.expr(f"aggregate(zip_with({col_a}, {col_b}, "
+                 "(x, y) -> cast(x as double) * cast(y as double)), "
+                 "0D, (a, v) -> a + v)")
+    n = lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
+    return dot / (n(col_a) * n(col_b))
+
+
+def brute_force_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Exact cosine top-k of df rows against a single-row probe_df."""
+    probe = probe_df.select(F.col(vec_col).alias("__probe"))
+    j = df.crossJoin(F.broadcast(probe))
+    return (j.select(F.col(id_col),
+                     F.round(_cosine(vec_col, "__probe"), 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(k))
+
+
+def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 16, dim: int = 64,
+                           seed: int = 7, vec_col: str = "embedding"
+                           ) -> DataFrame:
+    """Attach a deterministic LSH bucket id (sign pattern of n_planes dots)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(LongType())
+    def _bucket(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            signs = (planes[:, :len(x)] @ x) > 0
+            out.append(int((signs * weights).sum()))
+        return pd.Series(out)
+
+    return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
+
+
+def lsh_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
+                 n_planes: int = 12, dim: int = 64, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to the probe's LSH bucket."""
+    b_df = hyperplane_lsh_buckets(df, n_planes, dim, seed, vec_col)
+    b_probe = hyperplane_lsh_buckets(probe_df, n_planes, dim, seed, vec_col)
+    probe = b_probe.select(F.col(vec_col).alias("__probe"),
+                           F.col("lsh_bucket").alias("__pbucket"))
+    j = b_df.join(F.broadcast(probe),
+                  F.col("lsh_bucket") == F.col("__pbucket"))
+    return (j.select(F.col(id_col),
+                     F.round(_cosine(vec_col, "__probe"), 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(k))

@@ -1,0 +1,114 @@
+"""Training-data pipeline operators: MinHash-LSH, SimHash, ANN, multimodal."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rust_chunking_spark.operators.multimodal import decode_and_featurize
+from rust_chunking_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_buckets,
+    lsh_ann_topk,
+)
+from rust_chunking_spark.operators.text_dedup import (
+    lsh_duplicate_pairs,
+    minhash_signature_udf,
+    simhash64_udf,
+)
+
+
+def _doc_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest looking for food " * 6).split()
+    rng = np.random.default_rng(3)
+    rows = []
+    # 0/1: near-duplicates (one token changed); 2: exact dup of 0; rest random
+    rows.append((0, " ".join(base)))
+    mod = list(base)
+    mod[7] = "cat"
+    rows.append((1, " ".join(mod)))
+    rows.append((2, " ".join(base)))
+    vocab = list(set(base)) + ["alpha", "beta", "gamma", "delta"]
+    for i in range(3, 40):
+        rows.append((i, " ".join(rng.choice(vocab, 80))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _doc_corpus(spark)
+    pairs = lsh_duplicate_pairs(docs, threshold=0.7).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    exact = [r for r in pairs if (r.a, r.b) == (0, 2)]
+    assert exact[0].est_jaccard == 1.0
+    # random docs should not pair with the dup cluster at 0.7
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in found)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement approximates true shingle jaccard."""
+    a = "w%d " * 200 % tuple(range(200))
+    b = "w%d " * 200 % tuple(range(100, 300))  # true overlap region
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sig = minhash_signature_udf(n_hashes=256)
+    rows = df.select("doc_id", sig(F.col("text")).alias("s")).collect()
+    s0 = np.array(rows[0].s)
+    s1 = np.array(rows[1].s)
+    est = (s0 == s1).mean()
+    # true jaccard of 5-gram shingles: overlap 96/296 ~ 0.245
+    assert 0.1 < est < 0.45
+
+
+def test_simhash_close_for_near_dups(spark):
+    docs = _doc_corpus(spark)
+    sh = simhash64_udf()
+    rows = {r.doc_id: r.h for r in
+            docs.select("doc_id", sh(F.col("text")).alias("h")).collect()}
+    ham = bin(rows[0] ^ rows[1]).count("1")
+    assert rows[0] == rows[2]
+    assert ham <= 8
+    other = bin(rows[0] ^ rows[10]).count("1")
+    assert other > ham
+
+
+def test_ann_lsh_agrees_with_brute_force(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    # plant close neighbors of vec 0
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rng.standard_normal(64).astype(np.float32) * 0.1
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    probe = df.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in brute_force_topk(df, probe, k=6).collect()]
+    approx = [r.vec_id for r in lsh_ann_topk(df, probe, k=6, n_planes=8).collect()]
+    assert set(exact) == {0, 1, 2, 3, 4, 5}
+    # LSH bucket must contain the probe and most planted neighbors
+    assert 0 in approx
+    assert len(set(approx) & set(exact)) >= 4
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(64).astype(np.float32).tolist())
+         for i in range(20)], "vec_id long, embedding array<float>")
+    a = {r.vec_id: r.lsh_bucket for r in hyperplane_lsh_buckets(df).collect()}
+    b = {r.vec_id: r.lsh_bucket for r in hyperplane_lsh_buckets(df).collect()}
+    assert a == b
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [(i, bytes([i] * 100)) for i in range(10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_and_featurize(df.repartition(4), n_features=12).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id) == 11
+    assert by_id[99].features is None
+    assert len(by_id[0].features) == 12
+    assert by_id[0].width == 32 and by_id[0].format == "fake-rgb"
+    # deterministic across runs
+    again = {r.media_id: r.features for r in
+             decode_and_featurize(df, n_features=12).collect()}
+    assert again[3] == by_id[3].features
