@@ -254,6 +254,115 @@ def _q_ann_topk(spark, sf_dir):
             .limit(20))
 
 
+# --------------------------------------------------- fuzzy dedup / ANN / misc
+
+def _q_minhash_dups(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs over documents (rows-only check;
+    estimator quality is pytest-verified in tests/test_operators.py)."""
+    from rust_chunking_spark.operators.text_dedup import lsh_duplicate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_duplicate_pairs(docs, threshold=0.5).orderBy("a", "b")
+
+
+def _q_simhash(spark, sf_dir):
+    from rust_chunking_spark.operators.text_dedup import simhash64_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64_udf()(F.col("text")).alias("simhash"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from rust_chunking_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return lsh_ann_topk(e, probe, k=10, n_planes=8)
+
+
+def _q_langid(spark, sf_dir):
+    """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    hits = sum(
+        ((F.length("text") - F.length(F.regexp_replace("text", f" {w} ", "")))
+         / (len(w) + 2)).cast("long")
+        for w in ["the", "and", "of"])
+    tokens = (F.length("text")
+              - F.length(F.regexp_replace("text", " ", "")) + F.lit(1))
+    return d.select(
+        "doc_id", "lang",
+        hits.alias("stopword_hits"),
+        F.floor(hits * 1000 / tokens).cast("long").alias("en_score_x1000"))
+
+
+def _q_orders_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy("o_orderstatus", "o_orderpriority"))
+
+
+def _q_events_lead_lag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (e.select("user_id", "event_id", gap.alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.max("gap_us").alias("max_gap_us")))
+
+
+def _q_semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .agg(F.count("*").alias("n_customers_with_orders")))
+
+
+def _q_monthly_order_volume(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("volume"))
+            .orderBy("month"))
+
+
+def _q_string_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.trim(F.col("text"))).alias("trim_len"),
+        F.reverse(F.substring("text", 1, 8)).alias("head_rev"))
+
+
+def _q_chunk_stats(spark, sf_dir):
+    """Reference print_info stats (filetest.rs:69-88) per algorithm over the
+    corpus: avg/true-median/mode chunk length (rows-only; the reference's
+    unsorted-index 'median' quirk is documented, a real median is reported)."""
+    from rust_chunking_spark.functions.chunking import chunk_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for algo, params in CHUNK_PARAMS.items():
+        udf = chunk_udf(algo, **params)
+        c = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+             .select(F.explode("chunks").alias("c"))
+             .agg(F.lit(algo).alias("algo"),
+                  F.count("*").alias("n_chunks"),
+                  F.avg("c.len").alias("avg_len"),
+                  F.expr("percentile_approx(c.len, 0.5)").alias("median_len"),
+                  F.mode("c.len").alias("mode_len")))
+        parts.append(c)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("algo")
+
+
 # -------------------------------------------------------------------- entry
 
 
@@ -287,6 +396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_by_region": _q_supplier_by_region,
         "status_except": _q_status_except,
         "ann_topk_cosine": _q_ann_topk,
+        "langid_heuristic": _q_langid,
+        "orders_rollup": _q_orders_rollup,
+        "events_lead_lag": _q_events_lead_lag,
+        "semi_join_customers": _q_semi_join_customers,
+        "monthly_order_volume": _q_monthly_order_volume,
+        "string_funcs": _q_string_funcs,
+        "minhash_dup_pairs": _q_minhash_dups,
+        "simhash_docs": _q_simhash,
+        "ann_lsh_topk": _q_ann_lsh,
+        "chunk_stats_all": _q_chunk_stats,
     })
     return q
 
@@ -381,5 +500,43 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
             FROM embeddings
             ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+        "langid_heuristic": """
+            SELECT doc_id, lang,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                      + (length(text) - length(replace(text, ' and ', ''))) / 5
+                      + (length(text) - length(replace(text, ' of ', ''))) / 4
+                      AS BIGINT) AS stopword_hits,
+                   CAST(floor(
+                     (CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                        + (length(text) - length(replace(text, ' and ', ''))) / 5
+                        + (length(text) - length(replace(text, ' of ', ''))) / 4
+                        AS BIGINT) * 1000)
+                     / (length(text) - length(replace(text, ' ', '')) + 1))
+                     AS BIGINT) AS en_score_x1000
+            FROM documents""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority""",
+        "events_lead_lag": """
+            SELECT user_id, count(*) AS n_gaps, max(gap_us) AS max_gap_us
+            FROM (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            WHERE gap_us IS NOT NULL GROUP BY user_id""",
+        "semi_join_customers": """
+            SELECT count(*) AS n_customers_with_orders FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+        "monthly_order_volume": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+            FROM orders GROUP BY 1 ORDER BY month""",
+        "string_funcs": """
+            SELECT doc_id, upper(substring(text, 1, 10)) AS head_upper,
+                   length(trim(text)) AS trim_len,
+                   reverse(substring(text, 1, 8)) AS head_rev
+            FROM documents""",
     })
     return sql
