@@ -1,0 +1,60 @@
+"""Physical-plan inspection helpers.
+
+The 100 TB design rests on plan properties (column pruning into parquet,
+broadcast joins instead of wide shuffles, filter pushdown); these helpers turn
+them into assertions so regressions fail tests instead of degrading at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode)
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema clauses of every parquet scan in the plan."""
+    plan = explain_str(df)
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def assert_reads_columns(df: DataFrame, must_not_read: list[str],
+                         source_hint: str | None = None) -> None:
+    """Assert no parquet scan (optionally filtered by path hint) reads any of
+    the named columns — i.e. column pruning reached the files."""
+    plan = explain_str(df)
+    for block in plan.split("(")[1:]:
+        if "Scan parquet" not in plan:
+            break
+    for schema in scan_read_schemas(df):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        if source_hint is not None:
+            # crude scoping: skip scans whose schema clearly isn't the source
+            if not cols & {"url", "html", "text"}:
+                continue
+        bad = cols & set(must_not_read)
+        assert not bad, f"scan reads pruned columns {bad}: struct<{schema}>"
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = explain_str(df)
+    n = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n >= min_count, f"expected >= {min_count} broadcast joins:\n{plan[:2000]}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (excluding broadcast exchanges)."""
+    plan = explain_str(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
+                          r"\bExchange RoundRobinPartitioning", plan))
+
+
+def assert_pushed_filters(df: DataFrame) -> None:
+    plan = explain_str(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no pushed filters:\n{plan[:2000]}"

@@ -1,0 +1,109 @@
+"""Plan-shape assertions: the properties the 100 TB design depends on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_chunking_spark.datagen import generate_wal
+from rust_chunking_spark.engine import BucketedLake, CdcIngestJob
+from rust_chunking_spark.engine.lake import AppendOnlyTable
+from rust_chunking_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    count_exchanges,
+    explain_str,
+    scan_read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity"))
+    assert_pushed_filters(df)
+    # column pruning: scan must read only the two referenced columns
+    schemas = scan_read_schemas(df)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"l_orderkey", "l_quantity"}
+        for s in schemas)
+
+
+def test_small_dim_join_is_broadcast(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy(
+        "c_custkey").count()
+    assert_broadcast_join(j)
+
+
+@pytest.fixture()
+def small_job(spark, tmp_path):
+    wal = generate_wal(n_pages=0, n_epochs=2, events_per_epoch=30, seed=5)
+    for ep, events in enumerate(wal):
+        spark.createDataFrame([dict(e) for e in events]).write.mode(
+            "overwrite").parquet(f"{tmp_path}/wal/epoch={ep:06d}")
+    lake = BucketedLake(str(tmp_path / "lake"), n_buckets=4)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(str(tmp_path / "chunks")),
+                       AppendOnlyTable(str(tmp_path / "metrics")))
+    job.run(str(tmp_path / "wal"), [0])
+    return job, str(tmp_path / "wal")
+
+
+def test_merge_decision_join_is_column_pruned(spark, small_job):
+    """The decision path must not read html/text from the lake files."""
+    job, wal = small_job
+    events = spark.read.parquet(f"{wal}/epoch=000001")
+    latest, keys = job._lww_latest(events)
+    cur = job.lake.read(spark)
+    cur_meta = cur.select("url", "warc_ts", "lsn", "content_fp", "deleted")
+    plan_schemas = scan_read_schemas(cur_meta)
+    for s in plan_schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert "html" not in cols and "text" not in cols, s
+
+
+def test_lww_shuffles_skinny_only(spark, small_job):
+    """No shuffle exchange in the LWW plan may carry the html column."""
+    job, wal = small_job
+    events = spark.read.parquet(f"{wal}/epoch=000001")
+    latest, keys = job._lww_latest(events)
+    plan = explain_str(latest)
+    # every hash-partitioning exchange's output must exclude html
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        line = m.group(0)
+        assert "html" not in line, line
+    # winners join back via broadcast
+    assert_broadcast_join(latest)
+    keys.unpersist()
+
+
+def test_epoch_apply_has_bounded_wide_shuffles(spark, small_job):
+    """Row assembly: content/carry/noop paths join via broadcast, and the only
+    hash shuffles operate on skinny columns."""
+    job, wal = small_job
+    events = spark.read.parquet(f"{wal}/epoch=000001")
+    latest, keys = job._lww_latest(events)
+    from pyspark.sql import functions as F
+    from rust_chunking_spark.functions.chunking import sha3_256_udf
+    ev_meta = latest.select(
+        "url", F.col("warc_ts").alias("ev_warc_ts"),
+        F.col("lsn").alias("ev_lsn"), F.col("op").alias("ev_op"),
+        sha3_256_udf(F.col("html")).alias("ev_fp"))
+    cur = job.lake.read(spark)
+    cur_meta = cur.select(
+        "url", F.col("warc_ts").alias("cur_warc_ts"),
+        F.col("lsn").alias("cur_lsn"), F.col("content_fp").alias("cur_fp"),
+        F.col("deleted").alias("cur_deleted"), F.lit(True).alias("cur_exists"))
+    decided = (ev_meta.join(cur_meta, "url", "left")
+               .withColumn("cur_exists",
+                           F.coalesce(F.col("cur_exists"), F.lit(False)))
+               .withColumn("decision", job._decision_expr()))
+    new_rows, iu = job._assemble_rows(latest, decided, cur, 30, [])
+    plan = explain_str(new_rows)
+    import re
+    wide_shuffles = [m.group(0) for m in
+                     re.finditer(r"Exchange hashpartitioning[^\n]*", plan)
+                     if "html" in m.group(0)]
+    assert not wide_shuffles, wide_shuffles
+    keys.unpersist()
