@@ -147,6 +147,86 @@ class BucketedLake:
         return spark.read.parquet(
             *[os.path.join(self.path, "data", f) for f in rel_files])
 
+    # ------------------------------------------------------- maintenance
+
+    def snapshot_versions(self) -> list[int]:
+        out = []
+        for entry in sorted(os.listdir(os.path.join(self.path, "snapshots"))):
+            if entry.startswith("v") and entry.endswith(".json"):
+                out.append(int(entry[1:-5]))
+        return out
+
+    def read_version(self, spark: SparkSession, version: int
+                     ) -> DataFrame | None:
+        """Time travel: read the table as of a specific snapshot version."""
+        with open(os.path.join(self.path, "snapshots",
+                               f"v{version:08d}.json")) as f:
+            snap = json.load(f)
+        files = [f for fl in snap["files"].values() for f in fl]
+        schema = self._schema_from_json(snap["schema"])
+        if not files:
+            return spark.createDataFrame([], schema) if schema else None
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[os.path.join(self.path, "data", f) for f in files]))
+        if schema is not None:
+            empty = spark.createDataFrame([], schema)
+            df = df.unionByName(empty, allowMissingColumns=True)
+            df = df.select(*[F.col(c) for c in empty.columns])
+        return df
+
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1
+                ) -> int:
+        """Rewrite buckets whose file count exceeds the target into one file
+        each; commits a new snapshot (no logical change). Returns number of
+        buckets compacted."""
+        snap = self.current_snapshot()
+        over = [int(b) for b, fl in snap["files"].items()
+                if len(fl) > target_files_per_bucket]
+        if not over:
+            return 0
+        df = self.read(spark, buckets=over)
+        token = f"compact-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, "data", f"merge-{token}")
+        staged = df.withColumn("__bucket", self.bucket_expr())
+        (staged.repartition(len(over), "__bucket")
+               .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir))
+        new_files = dict(snap["files"])
+        for entry in os.listdir(out_dir):
+            if entry.startswith("__bucket="):
+                b = int(entry.split("=", 1)[1])
+                new_files[str(b)] = [f"merge-{token}/{entry}"]
+        self._commit({**snap, "version": snap["version"] + 1,
+                      "files": new_files, "ts": time.time()})
+        return len(over)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old snapshot manifests and any data file no kept snapshot
+        references (Iceberg expire_snapshots + orphan cleanup). Returns the
+        number of data directories removed."""
+        import shutil
+
+        versions = self.snapshot_versions()
+        keep = set(versions[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            with open(os.path.join(self.path, "snapshots",
+                                   f"v{v:08d}.json")) as f:
+                snap = json.load(f)
+            for fl in snap["files"].values():
+                live.update(f.split("/")[0] for f in fl)
+        removed = 0
+        data_dir = os.path.join(self.path, "data")
+        for entry in os.listdir(data_dir):
+            if entry not in live:
+                shutil.rmtree(os.path.join(data_dir, entry),
+                              ignore_errors=True)
+                removed += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.path, "snapshots",
+                                       f"v{v:08d}.json"))
+        return removed
+
     def init_schema(self, schema_ddl: str) -> None:
         snap = self.current_snapshot()
         if snap["schema"] is None:
