@@ -345,6 +345,7 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
     bd = BYTE_DISTANCES[b] if n else BYTE_DISTANCES[:0]
     C = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(bd)])
     J = np.arange(8)
+    BLOCK = 768   # windows per evaluation block; cuts usually land early
     out = []
     start = 0
     eq_count = 0  # persists across chunks (ultra.rs quirk: never reset in make_chunk)
@@ -357,53 +358,60 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
         # first k where check_border fires BEFORE reading window k
         k_border = max(0, -(-(n - start - min_size - 16) // 8))
         K = min(k_max, k_border)       # windows actually read: k = 0..K-1
-        Qo = start + min_size + 8 + 8 * np.arange(K)
-        Po = np.empty(K, dtype=np.int64)
-        if K > 0:
-            Po[0] = start
-            Po[1:] = Qo[:-1]
+        cut_k = -1
+        run = eq_count
+        B0 = 0
+        while B0 < K:
+            B1 = min(K, B0 + BLOCK)
+            ks = np.arange(B0, B1)
+            Qo = start + min_size + 8 + 8 * ks
+            Po = np.where(ks == 0, start, Qo - 8)
             eq = (b[Qo[:, None] + J] == b[Po[:, None] + J]).all(axis=1)
             # distance before slide step j of window k:
             #   D_kj = S(prev) + (C[Q+j]-C[Q]) - (C[P+j]-C[P])
             S_prev = C[Po + 8] - C[Po]
             D = (S_prev[:, None] + C[Qo[:, None] + J] - C[Qo][:, None]
                  - C[Po[:, None] + J] + C[Po][:, None])
-            chk_at = min_size + 8 + 8 * np.arange(K)
+            chk_at = min_size + 8 + 8 * ks
             mask_k = np.where(chk_at < normal_size, ULTRA_MASK_S, ULTRA_MASK_L)
             hit = ((D & mask_k[:, None]) == 0).any(axis=1) & ~eq
             hit_idx = np.flatnonzero(hit)
-            first_hit = int(hit_idx[0]) if len(hit_idx) else K
+            first_hit = int(hit_idx[0]) if len(hit_idx) else B1 - B0
             # LEST: eq-run (with carry-in) reaches exactly 64 at an eq window
-            lest_k = K
-            if eq_count + int(eq[:first_hit].sum()) >= scalar.ULTRA_LEST:
-                run = eq_count
+            lest_local = -1
+            if run + int(eq[:first_hit].sum()) >= scalar.ULTRA_LEST:
+                rr = run
                 for k in range(first_hit):
                     if eq[k]:
-                        run += 1
-                        if run == scalar.ULTRA_LEST:
-                            lest_k = k
+                        rr += 1
+                        if rr == scalar.ULTRA_LEST:
+                            lest_local = k
                             break
                     else:
-                        run = 0
-            cut_k = min(lest_k, first_hit)
-        else:
-            eq = np.zeros(0, dtype=bool)
-            cut_k = 0  # no windows; terminal event decides
+                        rr = 0
+            if lest_local >= 0:
+                cut_k = B0 + lest_local
+                eq_count = scalar.ULTRA_LEST   # count stays at 64 (quirk)
+                break
+            if first_hit < B1 - B0:
+                cut_k = B0 + first_hit
+                eq_count = 0                   # cut at a non-eq window
+                break
+            run = _eq_run_end(eq, B1 - B0, run, inclusive=False)
+            B0 = B1
 
-        if K > 0 and cut_k < K:
+        if cut_k >= 0:
             length = min_size + 8 + 8 * cut_k + 8   # make_chunk(8)
-            eq_count = _eq_run_end(eq, cut_k, eq_count)
             out.append((start, length))
             start += length
         elif k_max <= k_border:
             # phase-2 while condition (chk_len < max) fails first -> make_chunk(0)
-            length = min_size + 8 + 8 * k_max
-            eq_count = _eq_run_end(eq, k_max, eq_count, inclusive=False)
-            out.append((start, length))
-            start += length
+            eq_count = run
+            out.append((start, min_size + 8 + 8 * k_max))
+            start += min_size + 8 + 8 * k_max
         else:
             # check_border fires -> emit remainder, iteration ends
-            eq_count = _eq_run_end(eq, k_border, eq_count, inclusive=False)
+            eq_count = run
             out.append((start, n - start))
             start = n
     return _pack(out)
