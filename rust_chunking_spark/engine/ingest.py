@@ -91,6 +91,30 @@ class CdcIngestJob:
 
     # ------------------------------------------------------------ LWW stage
 
+    @staticmethod
+    def _with_uid(events: DataFrame) -> DataFrame:
+        """Attach a tie-break uid that is stable under plan re-execution.
+
+        The LWW join-back recomputes the event scan, so the uid MUST come out
+        identical both times or winner rows are silently dropped. For file
+        sources (the WAL) `_metadata.file_path + row_index` is a content- and
+        partitioning-independent identity. Sources without `_metadata`
+        (createDataFrame in tests, a future Kafka reader) fall back to
+        monotonically_increasing_id, which is deterministic only when the
+        source re-scans with identical partitioning — true for local
+        relations and parquet; a Kafka-backed WalSource must instead expose
+        (partition, offset) and pre-populate `__uid` before calling the engine.
+        """
+        if "__uid" in events.columns:
+            return events
+        try:
+            return events.withColumn(
+                "__uid", F.xxhash64(F.col("_metadata.file_path"),
+                                    F.col("_metadata.row_index")))
+        except Exception:
+            return events.withColumn("__uid",
+                                     F.monotonically_increasing_id())
+
     def _lww_latest(self, events: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Last-writer-wins by (warc_ts, lsn): skinny aggregate + join-back.
 
@@ -102,7 +126,7 @@ class CdcIngestJob:
         urls (millions of events for ONE key in a batch) where per-partition
         partial aggregation is not enough; AQE cannot split one reduce key.
         """
-        ev = events.withColumn("__uid", F.monotonically_increasing_id())
+        ev = self._with_uid(events)
         key = F.struct(F.col("warc_ts"), F.col("lsn"), F.col("__uid"))
         skinny = ev.select("url", "warc_ts", "lsn", "__uid")
         if self.salt_lww:

@@ -149,6 +149,15 @@ class BucketedLake:
 
     # ------------------------------------------------------- maintenance
 
+    def _current_version(self) -> int | None:
+        """Version number named by the CURRENT pointer (None before any commit)."""
+        try:
+            with open(self._current_path) as f:
+                name = f.read().strip()
+            return int(name[1:-5])
+        except (FileNotFoundError, ValueError):
+            return None
+
     def snapshot_versions(self) -> list[int]:
         out = []
         for entry in sorted(os.listdir(os.path.join(self.path, "snapshots"))):
@@ -202,11 +211,24 @@ class BucketedLake:
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop old snapshot manifests and any data file no kept snapshot
         references (Iceberg expire_snapshots + orphan cleanup). Returns the
-        number of data directories removed."""
+        number of data directories removed.
+
+        The snapshot CURRENT references is always kept, whatever its version
+        number: after a crash between writing vN.json and the atomic CURRENT
+        flip, vN is an orphan *newer* than CURRENT — counting it toward
+        ``keep_last`` (or worse, keeping only it) would delete the manifest
+        and data the table actually lives on. Orphans newer than CURRENT are
+        expired like any other non-current manifest.
+        """
         import shutil
 
         versions = self.snapshot_versions()
-        keep = set(versions[-keep_last:])
+        current_v = self._current_version()
+        committed = (versions if current_v is None
+                     else [v for v in versions if v <= current_v])
+        keep = set(committed[-keep_last:])
+        if current_v is not None:
+            keep.add(current_v)
         live: set[str] = set()
         for v in keep:
             with open(os.path.join(self.path, "snapshots",

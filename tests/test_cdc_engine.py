@@ -136,3 +136,18 @@ def test_chunk_store_consistency(spark, wal, tmp_path):
     n = store.count()
     nd = store.select("chunk_hash").distinct().count()
     assert n == nd > 0   # append path never duplicates a hash
+
+
+def test_lww_uid_stable_under_recomputation(spark, tmp_path):
+    """The LWW tie-break uid must be identical when the event scan is
+    re-executed (the join-back recomputes it): for file sources it derives
+    from (_metadata.file_path, row_index), not from partition-dependent
+    monotonically_increasing_id."""
+    rows = [{"url": f"u{i % 3}", "lsn": i, "op": "U"} for i in range(30)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+    ev = CdcIngestJob._with_uid(spark.read.parquet(src))
+    a = sorted(r[0] for r in ev.select("__uid").collect())
+    b = sorted(r[0] for r in ev.select("__uid").collect())
+    assert a == b
+    assert len(set(a)) == len(rows)   # unique per event

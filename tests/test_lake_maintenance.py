@@ -46,3 +46,34 @@ def test_compact_and_expire(spark, tmp_path):
     assert removed >= 1
     again = lake.read(spark).orderBy("url").collect()
     assert [r.url for r in again] == [r.url for r in before]
+
+
+def test_expire_keeps_current_after_crash_orphan(spark, tmp_path):
+    """Crash between writing vN.json and the CURRENT flip leaves an orphan
+    manifest NEWER than CURRENT. expire_snapshots must keep the snapshot
+    CURRENT names (regression: keeping the newest by version number deleted
+    the live manifest + its data, bricking the table)."""
+    import json
+    import os
+
+    lake = _replayed(spark, tmp_path)
+    before = lake.read(spark).orderBy("url").collect()
+    cur_v = lake._current_version()
+
+    # simulate the torn commit: orphan manifest newer than CURRENT, pointing
+    # at a data directory that was never fully written
+    orphan_v = cur_v + 1
+    snap = lake.current_snapshot()
+    orphan = {**snap, "version": orphan_v,
+              "files": {"0": ["merge-orphan/never-written"]}}
+    with open(os.path.join(lake.path, "snapshots",
+                           f"v{orphan_v:08d}.json"), "w") as f:
+        json.dump(orphan, f)
+
+    lake.expire_snapshots(keep_last=1)
+    # CURRENT's manifest survived and the table is intact
+    assert lake._current_version() == cur_v
+    after = lake.read(spark).orderBy("url").collect()
+    assert [r.url for r in after] == [r.url for r in before]
+    # the orphan manifest was cleaned up, not promoted
+    assert orphan_v not in lake.snapshot_versions()

@@ -44,3 +44,34 @@ def test_stream_ingest_matches_oracle(spark, wal, tmp_path):
                              max_files_per_trigger=16)
     q2.awaitTermination(120)
     assert lake.current_snapshot()["version"] == v1
+
+
+def test_stream_epoch_split_across_microbatches(spark, wal, tmp_path):
+    """maxFilesPerTrigger batches FILES, so one epoch's part files can span
+    several micro-batches. The engine must still apply every event exactly
+    once (regression: a partial first slice used to commit the epoch marker
+    and silently drop the remainder)."""
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(wal):
+        df = spark.createDataFrame([dict(e) for e in events])
+        # many part files per epoch + tiny trigger -> guaranteed epoch splits
+        (df.repartition(6).write.mode("overwrite")
+         .parquet(f"{wal_dir}/epoch={ep:06d}"))
+
+    lake = BucketedLake(str(tmp_path / "lake"), n_buckets=8)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(str(tmp_path / "chunks")),
+                       AppendOnlyTable(str(tmp_path / "metrics")))
+    q = start_stream_ingest(spark, job, wal_dir, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=4)
+    q.awaitTermination(300)
+
+    assert job.lake.committed_epochs() == set(range(N_EPOCHS))
+    # the derived chunk store kept up too (repair path on re-delivery)
+    assert job.chunk_store.committed_epochs() == set(range(N_EPOCHS))
+    oracle = expected_final_state(wal)
+    rows = {r.url: r for r in
+            lake.read(spark).filter(~F.col("deleted")).collect()}
+    assert set(rows) == set(oracle)
+    for url, exp in oracle.items():
+        assert rows[url].text == exp["text"]
+        assert rows[url].lsn == exp["lsn"]
