@@ -85,7 +85,8 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
             te = time.perf_counter()
             r = job.run(wal_dir, [ep])
             results.extend(r)
-            print(f"EPOCH {ep}: {time.perf_counter()-te:.1f}s", file=sys.stderr)
+            print(f"EPOCH {ep}: {time.perf_counter()-te:.1f}s "
+                  f"phases={job.last_phase_timings}", file=sys.stderr)
         job.flush_metrics()
         dt = time.perf_counter() - t0
         seen = sum(m.events_seen for m in results) or total_events
@@ -136,9 +137,13 @@ def kernel_bench() -> dict:
     buf = rng.integers(0, 256, 4 << 20, dtype=np.uint8)
     out = {}
     for name, fn in V.ALGORITHMS.items():
-        t0 = time.perf_counter()
-        fn(buf)
-        out[name] = round(len(buf) / (time.perf_counter() - t0) / 1e6, 1)
+        fn(buf)   # warm-up: first call pays allocator/page-fault setup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(buf)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(len(buf) / best / 1e6, 1)
     return out
 
 

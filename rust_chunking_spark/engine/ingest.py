@@ -83,6 +83,8 @@ class CdcIngestJob:
         self.broadcast_limit = broadcast_limit
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
         self._pending_lineage: list = []
+        #: per-phase wall seconds of the most recent apply_epoch (observability)
+        self.last_phase_timings: dict[str, float] = {}
 
     def _bcast(self, df: DataFrame, n_rows: int) -> DataFrame:
         """Broadcast hint while the side fits; beyond the limit let AQE pick
@@ -125,6 +127,12 @@ class CdcIngestJob:
         salt_lww adds an (url, salt) pre-phase for pathologically hot single
         urls (millions of events for ONE key in a batch) where per-partition
         partial aggregation is not enough; AQE cannot split one reduce key.
+
+        Returns (latest, keys, per_bucket_rows, n_winners); the per-bucket
+        stats come from ONE driver action that doubles as the cache
+        materialization for `keys` — the driver serial floor per epoch is a
+        direct throughput tax at small batch sizes, so actions are fused
+        wherever two of them read the same skinny aggregate.
         """
         ev = self._with_uid(events)
         key = F.struct(F.col("warc_ts"), F.col("lsn"), F.col("__uid"))
@@ -140,18 +148,34 @@ class CdcIngestJob:
             keys = (skinny.groupBy("url")
                     .agg(F.max(key).alias("k"), F.count("*").alias("n_events")))
         keys = keys.select("url", "k.*", "n_events").cache()
-        n_winners = keys.count()
+        # fused action: dirty buckets + batch totals + cache materialization
+        per_bucket = (keys.groupBy(self.lake.bucket_expr().alias("b"))
+                      .agg(F.sum("n_events").alias("seen"),
+                           F.count("*").alias("winners")).collect())
+        n_winners = int(sum(r.winners for r in per_bucket))
         latest = ev.join(
             self._bcast(keys.select("url", "__uid", "n_events"), n_winners),
             ["url", "__uid"], "inner").drop("__uid")
-        return latest, keys
+        return latest, keys, per_bucket, n_winners
 
     # ---------------------------------------------------------- epoch apply
 
     def apply_epoch(self, events: DataFrame, epoch: int) -> IngestMetrics | None:
         """Apply one WAL epoch with exactly-once semantics; None if already applied."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        phases: dict[str, float] = {}
+
+        def _mark(name: str) -> None:
+            nonlocal t0
+            now = _time.perf_counter()
+            phases[name] = round(now - t0, 3)
+            t0 = now
+
         if epoch in self.lake.committed_epochs():
             return None
+        _mark("marker_check")
         m = IngestMetrics(epoch=epoch)
 
         # NOTE deliberately NO .cache() on any wide dataframe: materializing
@@ -159,15 +183,10 @@ class CdcIngestJob:
         # under many concurrent tasks (measured 65s vs 4s of compute at 32
         # threads). Wide rows are re-scanned from (page-cached) parquet with
         # column pruning instead; only skinny metadata is cached.
-        latest, keys = self._lww_latest(events)
-
-        # skinny pass: dirty buckets + batch totals (column-pruned, no sha3)
-        per_bucket = (latest.groupBy(self.lake.bucket_expr().alias("b"))
-                      .agg(F.sum("n_events").alias("seen"),
-                           F.count("*").alias("winners")).collect())
+        latest, keys, per_bucket, n_winners = self._lww_latest(events)
+        _mark("lww_collect")
         dirty = [int(r.b) for r in per_bucket]
         m.events_seen = int(sum(r.seen for r in per_bucket))
-        n_winners = int(sum(r.winners for r in per_bucket))
         m.in_batch_superseded = m.events_seen - n_winners
 
         # --- skinny decision join: column-pruned lake read (no html/text IO);
@@ -200,34 +219,47 @@ class CdcIngestJob:
                                    F.coalesce(F.col("cur_exists"), F.lit(False))))
         decided = decided.withColumn("decision", self._decision_expr()).cache()
 
-        if self.collect_metrics:
-            verdicts = {r["decision"]: r["cnt"] for r in
-                        decided.groupBy("decision")
-                        .agg(F.count("*").alias("cnt")).collect()}
-            m.applied_insert = verdicts.get("insert", 0)
-            m.applied_update = verdicts.get("update", 0)
-            m.applied_delete = (verdicts.get("delete", 0)
-                                + verdicts.get("delete_noexist", 0))
-            m.skipped_noop = verdicts.get("noop", 0)
-            m.skipped_late = verdicts.get("skip_late", 0)
-            m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
+        # fused action: ONE collect of the per-(bucket, decision) lineage
+        # materializes the decided cache, yields the verdict counts, AND is
+        # the metrics payload — three driver round-trips folded into one.
+        lineage_rows = (decided
+                        .withColumn("bucket", self.lake.bucket_expr())
+                        .groupBy("bucket", "decision")
+                        .agg(F.count("*").alias("cnt"))
+                        .withColumn("epoch", F.lit(epoch))
+                        .collect())
+        _mark("decide_collect")
+        verdicts: dict[str, int] = {}
+        for r in lineage_rows:
+            verdicts[r.decision] = verdicts.get(r.decision, 0) + int(r.cnt)
+        m.applied_insert = verdicts.get("insert", 0)
+        m.applied_update = verdicts.get("update", 0)
+        m.applied_delete = (verdicts.get("delete", 0)
+                            + verdicts.get("delete_noexist", 0))
+        m.skipped_noop = verdicts.get("noop", 0)
+        m.skipped_late = verdicts.get("skip_late", 0)
+        m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
 
         new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
                                                 n_winners, extras)
 
-        self._append_metrics(decided, epoch)
+        self._append_metrics(lineage_rows, epoch)
+        _mark("metrics_write")
         stats = {"__schema": new_rows.schema.json(),
                  **dataclasses.asdict(m)}
         merge_files = self.lake.overwrite_buckets(new_rows, dirty, epoch, stats)
+        _mark("merge_write")
 
         # derive the chunk store from the just-written files: a column-pruned
         # read of (url, chunks) only — html never re-read. Crash between the
         # lake commit and this append is repaired by run() via snapshot stats.
         chunk_stats = self._update_chunk_store(merge_files, iu_urls, n_winners,
                                                epoch)
+        _mark("chunk_store")
         m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
         decided.unpersist()
         keys.unpersist()
+        self.last_phase_timings = phases
         return m
 
     # ------------------------------------------------------------- decisions
@@ -367,23 +399,29 @@ class CdcIngestJob:
 
     # ---------------------------------------------------------------- metrics
 
-    def _append_metrics(self, decided: DataFrame, epoch: int) -> None:
-        lineage = (decided
-                   .withColumn("bucket", self.lake.bucket_expr())
-                   .groupBy("bucket", "decision")
-                   .agg(F.count("*").alias("cnt"))
-                   .withColumn("epoch", F.lit(epoch)))
+    LINEAGE_SCHEMA = "bucket long, decision string, cnt long, epoch long"
+
+    def _append_metrics(self, lineage_rows: list, epoch: int) -> None:
+        """Write the already-collected lineage rows (tiny, driver-local).
+
+        collect_metrics=False (steady-state) buffers rows and flushes them in
+        one write at the end of the replay — per-epoch metric writes are pure
+        serial floor.
+        """
         if self.collect_metrics:
-            self.metrics.append(lineage, epoch)
+            self.metrics.append(
+                self.spark.createDataFrame(lineage_rows, self.LINEAGE_SCHEMA),
+                epoch)
         else:
-            # steady-state mode: buffer lineage plans, flush in one write
-            self._pending_lineage.append((epoch, lineage.collect()))
+            self._pending_lineage.append((epoch, lineage_rows))
 
     def flush_metrics(self) -> None:
         """Write lineage buffered by collect_metrics=False mode."""
         for epoch, rows in self._pending_lineage:
             if rows:
-                self.metrics.append(self.spark.createDataFrame(rows), epoch)
+                self.metrics.append(
+                    self.spark.createDataFrame(rows, self.LINEAGE_SCHEMA),
+                    epoch)
         self._pending_lineage = []
 
     # ------------------------------------------------------------------- run

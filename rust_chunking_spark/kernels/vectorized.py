@@ -53,93 +53,151 @@ def _pack(chunks: list[tuple[int, int]]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- AE and RAM
+#
+# Both kernels reduce to the same global structure. Within a chunk starting
+# at cs (scan base = cs + 1, first-byte skip ae.rs:48-50):
+#
+#   AE  cuts at q + 32 for the first q >= base that is a chunk-record
+#       (no element > b[q] in [base, q), ties count as updates) AND has no
+#       update in the next 32 bytes (max(b[q+1 .. q+32]) < b[q], strict).
+#   RAM cuts at the first q >= base + window that is a chunk-record
+#       (a[j] == running max <=> no element > b[q] in [base, q)).
+#
+# The "chunk-record" test is position-independent once expressed through
+# PG[q] = index of the previous STRICTLY greater element: record <=> PG < base.
+# So chunking the whole buffer becomes: (1) one vectorized pass computing the
+# candidate positions (a sliding-window-max condition), (2) one vectorized
+# prev-greater computation at the candidates (binary descent over a sparse
+# max-table), (3) a pure-python pointer chase emitting chunks — no per-chunk
+# numpy calls at all.
 
 
-def _extremum_scan(a: np.ndarray):
-    """Running max over a; upd[p] True where the scan updates its max (ties update)."""
-    m = np.maximum.accumulate(a)
-    return a == m
+def _sparse_max_tables(b: np.ndarray, levels: int) -> list:
+    """tables[k][x] = max(b[x : x + 2**k]); built by doubling."""
+    tables = [b]
+    for k in range(1, levels + 1):
+        prev = tables[-1]
+        step = 1 << (k - 1)
+        if len(prev) <= step:
+            tables.append(prev[:0])
+            break
+        tables.append(np.maximum(prev[:-step], prev[step:]))
+    return tables
 
 
-def _first_ae_candidate(a: np.ndarray, window_size: int) -> int:
-    """First index p in a with (a[p] != runmax[p]) and p == last_update + window."""
-    upd = a == np.maximum.accumulate(a)
-    idx = np.arange(len(a))
-    lu = np.maximum.accumulate(np.where(upd, idx, 0))
-    cand = np.flatnonzero((~upd) & (idx == lu + window_size))
-    return int(cand[0]) if len(cand) else -1
+def _sliding_max(b: np.ndarray, tables: list, w: int) -> np.ndarray:
+    """A[x] = max(b[x : x + w]) for x in [0, n - w]; two overlapping
+    power-of-two windows from the sparse tables (max is idempotent)."""
+    n = len(b)
+    k = w.bit_length() - 1
+    if (1 << k) == w:
+        return tables[k][:n - w + 1]
+    step = 1 << k
+    Mk = tables[k]
+    hi = n - w + 1
+    return np.maximum(Mk[:hi], Mk[w - step:w - step + hi])
+
+
+def _prev_greater_at(b: np.ndarray, cand: np.ndarray, tables: list,
+                     levels: int) -> np.ndarray:
+    """PG[q] for each candidate: largest x < q with b[x] > b[q].
+
+    Exact while the distance fits the table span; a farther PG collapses to
+    some value < q - (2**(levels+1) - 1), which callers only compare against
+    chunk bases closer than that span — the comparison stays correct.
+    """
+    v = b[cand]
+    x = cand.astype(np.int64)
+    for k in range(min(levels, len(tables) - 1), -1, -1):
+        step = 1 << k
+        Mk = tables[k]
+        if len(Mk) == 0:
+            continue   # buffer shorter than this window width: no x qualifies
+        can = x - step >= 0
+        idx = np.where(can, x - step, 0)
+        ok = can & (Mk[idx] <= v)
+        x = np.where(ok, x - step, x)
+    return x - 1
+
+
+def _extremum_chain(b, cands: np.ndarray, pgs: np.ndarray, min_size: int,
+                    max_size: int, cut_off: int, q_off: int) -> list:
+    """Shared AE/RAM chunk loop over precomputed candidates.
+
+    cut position = candidate + cut_off; first admissible candidate per chunk
+    is >= base + q_off (AE: cut_off=32, q_off=0; RAM: cut_off=0, q_off=window).
+    """
+    from bisect import bisect_left
+
+    n = len(b)
+    qs = cands.tolist()
+    pg = pgs.tolist()
+    nq = len(qs)
+    out = []
+    cs = 0
+    while cs < n:
+        if n - cs < min_size:
+            out.append((cs, n - cs))
+            break
+        base = cs + 1
+        i = bisect_left(qs, base + q_off)
+        cutpos = -1
+        while i < nq:
+            if pg[i] < base:
+                cutpos = qs[i] + cut_off
+                break
+            i += 1
+        if cs + max_size + 2 <= n:
+            pos = min(cutpos, cs + 1 + max_size) if cutpos >= 0 \
+                else cs + 1 + max_size
+        else:
+            pos = cutpos if 0 <= cutpos < n else n
+        out.append((cs, pos - cs))
+        cs = pos
+    return out
 
 
 def ae_chunks(buf, min_size: int = 8192, max_size: int = 16384,
               window_size: int = 32) -> np.ndarray:
     b = _as_u8(buf)
     n = len(b)
-    out = []
-    cs = 0
-    grow0 = 4 * window_size  # adaptive: most cuts land near the chunk start
-    while cs < n:
-        if n - cs < min_size:
-            out.append((cs, n - cs))
-            break
-        base = cs + 1
-        hi_full = min(n, cs + max_size + 2)  # hard cut fires at pos == cs+max+1
-        w = grow0
-        cut = -1
-        while True:
-            hi = min(hi_full, base + w)
-            c = _first_ae_candidate(b[base:hi], window_size)
-            # a candidate within w - window_size is final (later context can't
-            # retract it: the scan state at p only depends on a[0..p])
-            if c >= 0:
-                cut = c
-                break
-            if hi == hi_full:
-                break
-            w *= 4
-        if hi_full == cs + max_size + 2:
-            cut_rel = max_size if cut < 0 else min(cut, max_size)
-            pos = base + cut_rel
-        else:
-            pos = n if cut < 0 else base + cut
-        out.append((cs, pos - cs))
-        cs = pos
-    return _pack(out)
+    if n == 0:
+        return _EMPTY
+    levels = max(1, int(max_size + 2 * window_size + 2).bit_length())
+    tables = _sparse_max_tables(b, levels)
+    # candidate q: strict max over the NEXT window bytes (q+1 .. q+window);
+    # windows crossing the buffer end can never fire inside the scan
+    if n >= window_size + 1:
+        A = _sliding_max(b, tables, window_size)   # A[x] = max b[x..x+w)
+        m = n - window_size                        # q in [0, n-w-1]
+        cands = np.flatnonzero(b[:m] > A[1:m + 1]).astype(np.int64)
+    else:
+        cands = np.empty(0, dtype=np.int64)
+    pgs = _prev_greater_at(b, cands, tables, levels)
+    return _pack(_extremum_chain(b, cands, pgs, min_size, max_size,
+                                 cut_off=window_size, q_off=0))
 
 
 def ram_chunks(buf, min_size: int = 8192, max_size: int = 16384,
                window_size: int = 32) -> np.ndarray:
     b = _as_u8(buf)
     n = len(b)
-    out = []
-    cs = 0
-    grow0 = 4 * window_size
-    while cs < n:
-        if n - cs < min_size:
-            out.append((cs, n - cs))
-            break
-        base = cs + 1
-        hi_full = min(n, cs + max_size + 2)
-        w = grow0
-        cut = -1
-        while True:
-            hi = min(hi_full, base + w)
-            a = b[base:hi]
-            upd = a == np.maximum.accumulate(a)
-            cand = np.flatnonzero(upd[window_size:])
-            if len(cand):
-                cut = int(cand[0]) + window_size
-                break
-            if hi == hi_full:
-                break
-            w *= 4
-        if hi_full == cs + max_size + 2:
-            cut_rel = max_size if cut < 0 else min(cut, max_size)
-            pos = base + cut_rel
-        else:
-            pos = n if cut < 0 else base + cut
-        out.append((cs, pos - cs))
-        cs = pos
-    return _pack(out)
+    if n == 0:
+        return _EMPTY
+    levels = max(1, int(max_size + 2 * window_size + 2).bit_length())
+    tables = _sparse_max_tables(b, levels)
+    # candidate q >= window: no strictly-greater element in the PREVIOUS
+    # window bytes (b[q] >= max(b[q-window .. q)))
+    if n >= window_size + 1:
+        A = _sliding_max(b, tables, window_size)   # A[x] = max b[x..x+w)
+        m = n - window_size                        # x = q - window
+        cands = (np.flatnonzero(b[window_size:] >= A[:m]).astype(np.int64)
+                 + window_size)
+    else:
+        cands = np.empty(0, dtype=np.int64)
+    pgs = _prev_greater_at(b, cands, tables, levels)
+    return _pack(_extremum_chain(b, cands, pgs, min_size, max_size,
+                                 cut_off=0, q_off=window_size))
 
 
 # ---------------------------------------------------------------------- Rabin
@@ -152,12 +210,12 @@ for _k in range(16):
 del _p, _k
 
 
-# The cut test only reads checksum & 0x3FFF, so all arithmetic can run mod 2^14:
-# (x mod 2^40) mod 2^14 == x mod 2^14. Precompute per-k byte contribution LUTs
-# (byte * PRIME^k mod 2^14) and accumulate in int32 — 4x less memory traffic
-# than the u64 formulation.
-_RABIN_POWS14 = [int(p) & 0x3FFF for p in _RABIN_POWS]
-_RABIN_IR14 = (scalar._RABIN_IR & np.uint64(0x3FFF)).astype(np.int32)
+# The cut test only reads checksum & 0x3FFF, so all arithmetic can run mod
+# 2^14, which 2^16 contains: (x mod 2^16) mod 2^14 == x mod 2^14. uint16
+# accumulation with wraparound is therefore exact AND hits SIMD width 2x-4x
+# harder than int32/u64 (measured ~7x faster on this box).
+_RABIN_POWS16 = [np.uint16(int(p) & 0xFFFF) for p in _RABIN_POWS]
+_RABIN_IR16 = (scalar._RABIN_IR & np.uint64(0x3FFF)).astype(np.uint16)
 
 
 def _rabin_cut_positions(b: np.ndarray) -> np.ndarray:
@@ -170,12 +228,12 @@ def _rabin_cut_positions(b: np.ndarray) -> np.ndarray:
     n = len(b)
     if n < 17:
         return np.empty(0, dtype=np.int64)
-    bi = b.astype(np.int32)
-    h = np.zeros(n - 16, dtype=np.int32)         # h[j] = H(p) & 0x3FFF, p = j + 16
+    bu = b.astype(np.uint16)
+    h = np.zeros(n - 16, dtype=np.uint16)        # h[j] = H(p) mod 2^16, p = j + 16
     for k in range(16):
-        h += bi[16 - k:n - k] * _RABIN_POWS14[k]
-    checksum = (h & 0x3FFF) ^ _RABIN_IR14[b[:n - 16]]
-    flags = (checksum & scalar.RABIN_CUT_MASK) == 0
+        h += bu[16 - k:n - k] * _RABIN_POWS16[k]
+    checksum = (h & np.uint16(0x3FFF)) ^ _RABIN_IR16[b[:n - 16]]
+    flags = (checksum & np.uint16(scalar.RABIN_CUT_MASK)) == 0
     return np.flatnonzero(flags).astype(np.int64) + 16
 
 
@@ -343,9 +401,30 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
     b = _as_u8(buf)
     n = len(b)
     bd = BYTE_DISTANCES[b] if n else BYTE_DISTANCES[:0]
-    C = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(bd)])
+    # distances are hamming counts <= 8, so every running sum fits int32
+    C = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(bd, dtype=np.int32, out=C[1:])
     J = np.arange(8)
-    BLOCK = 768   # windows per evaluation block; cuts usually land early
+    # Global precompute. For window k >= 1, Po = Qo - 8, so the distance at
+    # slide step j collapses to a plain 8-byte window sum:
+    #   D_kj = S(prev) + (C[Q+j]-C[Q]) - (C[P+j]-C[P]) = C[Q+j] - C[Q+j-8]
+    # i.e. W8 at position Qo + j - 8 for j in [0, 8) -> the per-window hit
+    # test is "any masked-zero W8 in [Qo-8, Qo)", a prefix-sum difference.
+    # Same trick for eq: window k >= 1 is equal iff E[x] = (b[x] == b[x-8])
+    # holds for all x in [Qo, Qo+8), another prefix-sum difference. Window
+    # k == 0 has a detached Po and keeps the direct 2D evaluation.
+    if n >= 8:
+        W8 = C[8:] - C[:-8]          # W8[x] = sum bd[x .. x+8), x in [0, n-8]
+        # prefix counts: PHX[j] = #{x < j : (W8[x] & MASK_X) == 0}
+        PHS = np.zeros(len(W8) + 1, dtype=np.int32)
+        np.cumsum((W8 & ULTRA_MASK_S) == 0, dtype=np.int32, out=PHS[1:])
+        PHL = np.zeros(len(W8) + 1, dtype=np.int32)
+        np.cumsum((W8 & ULTRA_MASK_L) == 0, dtype=np.int32, out=PHL[1:])
+        # PE[j] = #{x in [8, j+8) : b[x] == b[x-8]}, shifted so that
+        # count over x in [Qo, Qo+8) == PE[Qo] - PE[Qo-8]
+        PE = np.zeros(n - 7, dtype=np.int32)
+        np.cumsum(b[8:] == b[:-8], dtype=np.int32, out=PE[1:])
+    BLOCK0 = 64   # adaptive block: cuts usually land early; grow 4x on miss
     out = []
     start = 0
     eq_count = 0  # persists across chunks (ultra.rs quirk: never reset in make_chunk)
@@ -361,20 +440,30 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
         cut_k = -1
         run = eq_count
         B0 = 0
+        BLOCK = BLOCK0
         while B0 < K:
             B1 = min(K, B0 + BLOCK)
+            BLOCK *= 4
             ks = np.arange(B0, B1)
             Qo = start + min_size + 8 + 8 * ks
-            Po = np.where(ks == 0, start, Qo - 8)
-            eq = (b[Qo[:, None] + J] == b[Po[:, None] + J]).all(axis=1)
-            # distance before slide step j of window k:
-            #   D_kj = S(prev) + (C[Q+j]-C[Q]) - (C[P+j]-C[P])
-            S_prev = C[Po + 8] - C[Po]
-            D = (S_prev[:, None] + C[Qo[:, None] + J] - C[Qo][:, None]
-                 - C[Po[:, None] + J] + C[Po][:, None])
+            # prefix-sum formulation for every window; k == 0 (detached Po)
+            # overwritten with the direct evaluation below
+            eq = (PE[Qo] - PE[Qo - 8]) == 8
             chk_at = min_size + 8 + 8 * ks
-            mask_k = np.where(chk_at < normal_size, ULTRA_MASK_S, ULTRA_MASK_L)
-            hit = ((D & mask_k[:, None]) == 0).any(axis=1) & ~eq
+            use_S = chk_at < normal_size
+            hit = np.where(use_S, PHS[Qo] - PHS[Qo - 8],
+                           PHL[Qo] - PHL[Qo - 8]) > 0
+            if B0 == 0:
+                Po0 = start
+                Qo0 = start + min_size + 8
+                eq[0] = bool((b[Qo0:Qo0 + 8] == b[Po0:Po0 + 8]).all())
+                S_prev0 = int(C[Po0 + 8] - C[Po0])
+                D0 = (S_prev0 + C[Qo0 + J] - C[Qo0]
+                      - C[Po0 + J] + C[Po0])
+                m0 = (ULTRA_MASK_S if (min_size + 8) < normal_size
+                      else ULTRA_MASK_L)
+                hit[0] = bool(((D0 & m0) == 0).any())
+            hit = hit & ~eq
             hit_idx = np.flatnonzero(hit)
             first_hit = int(hit_idx[0]) if len(hit_idx) else B1 - B0
             # LEST: eq-run (with carry-in) reaches exactly 64 at an eq window
@@ -438,6 +527,21 @@ def _eq_run_end(eq: np.ndarray, k: int, carry: int, inclusive: bool = True) -> i
 def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
                increasing: bool = True, sequence_length: int = 5,
                skip_trigger: int = 55, skip_size: int = 256) -> np.ndarray:
+    """SeqCDC with global run-length precompute (seq.rs:71-118).
+
+    The per-segment scan state (G-run since segment start, opposing-slope
+    count since segment start) is recovered from whole-buffer structures in
+    O(log n) per segment instead of re-slicing per chunk:
+
+    - a global cut candidate is any non-Equal comparison whose *global* G-run
+      length reaches `sequence_length`; a segment-local cut is either the
+      first global candidate whose run started inside the segment, or —
+      when the first candidate's run straddles the segment start — event
+      `a + L - 1` of the same run if the run extends that far, else the
+      first candidate of a later run (which always starts inside).
+    - the skip trigger is the (skip_trigger)'th not-G event at/after the
+      segment start, a single index lookup into the not-G position array.
+    """
     b = _as_u8(buf)
     n = len(b)
     if n == 0:
@@ -448,7 +552,16 @@ def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
     # non-Equal comparison indices (comparison at index i compares b[i] vs b[i-1])
     ne_idx = np.flatnonzero(d != 0) + 1
     ne_isG = d[ne_idx - 1] > 0
-    # G-run lengths over the non-E subsequence
+    K = len(ne_idx)
+    notG_pos = np.flatnonzero(~ne_isG)            # k-space indices of L events
+    runstart = np.zeros(K, dtype=np.int64)
+    if len(notG_pos):
+        runstart[notG_pos] = notG_pos + 1
+        np.maximum.accumulate(runstart, out=runstart)
+    runlen = np.arange(1, K + 1) - runstart
+    cutcand = np.flatnonzero(ne_isG & (runlen >= sequence_length))
+    cand_rs = runstart[cutcand]                   # global run start per candidate
+    L = sequence_length
     out = []
     cs = 0
     while cs < n:
@@ -463,29 +576,39 @@ def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
             i_hi = min(n, cs + max_size) - 1   # last comparison index
             if i_lo > i_hi:
                 break
-            a = np.searchsorted(ne_idx, i_lo)
-            z = np.searchsorted(ne_idx, i_hi, side="right")
-            isG = ne_isG[a:z]
-            ev = ne_idx[a:z]
-            if len(ev) == 0:
+            a = int(np.searchsorted(ne_idx, i_lo))
+            z = int(np.searchsorted(ne_idx, i_hi, side="right"))
+            if a >= z:
                 position = i_hi + 1
                 break
-            # cut: 5th G since last L (within segment)
-            notG = np.flatnonzero(~isG)
-            # run length of G ending at j
-            runstart = np.zeros(len(isG), dtype=np.int64)
-            if len(notG):
-                runstart[notG] = notG + 1
-                runstart = np.maximum.accumulate(runstart)
-            runlen = np.arange(1, len(isG) + 1) - runstart
-            cutj = np.flatnonzero(isG & (runlen >= sequence_length))
-            cut_j = int(cutj[0]) if len(cutj) else len(ev)
-            skip_j = int(notG[skip_trigger - 1]) if len(notG) >= skip_trigger else len(ev)
-            if cut_j < skip_j:
-                cut_len = int(ev[cut_j]) + 1 - cs
+            # --- segment-local cut via global candidates
+            c = int(np.searchsorted(cutcand, a))
+            cut_k = K  # sentinel: none
+            if c < len(cutcand):
+                k0 = int(cutcand[c])
+                if cand_rs[c] >= a:
+                    cut_k = k0
+                else:
+                    # run straddles the segment start: first valid local cut
+                    # is event a+L-1 if the run reaches it, else the first
+                    # candidate of a later run
+                    j = int(np.searchsorted(notG_pos, k0))
+                    re = int(notG_pos[j]) if j < len(notG_pos) else K
+                    if a + L - 1 < re:
+                        cut_k = a + L - 1
+                    else:
+                        c2 = int(np.searchsorted(cutcand, re))
+                        if c2 < len(cutcand):
+                            cut_k = int(cutcand[c2])
+            # --- segment-local skip trigger
+            j = int(np.searchsorted(notG_pos, a))
+            skip_k = (int(notG_pos[j + skip_trigger - 1])
+                      if j + skip_trigger - 1 < len(notG_pos) else K)
+            if cut_k < min(skip_k, z):
+                cut_len = int(ne_idx[cut_k]) + 1 - cs
                 break
-            if skip_j < len(ev):
-                position = int(ev[skip_j]) + 1 + skip_size
+            if skip_k < z:
+                position = int(ne_idx[skip_k]) + 1 + skip_size
                 if position >= n or position - cs >= max_size:
                     break
                 continue
@@ -509,47 +632,49 @@ _EF_COLS = [EF_MATRIX[:, k].copy() for k in range(5)]
 _LEAP_OFFS = [1 + 42 * k for k in range(5)]   # byte at e - off
 
 
-def _leap_tables(b: np.ndarray):
-    """Q[e] (window ending at e qualified) and leap[e] for e in [180, n]."""
+def _leap_steps(b: np.ndarray):
+    """Per-position step table for the leap scan, packed as bytes.
+
+    steps[m] for position p = e0+23+m: 0 => all 24 windows qualified (cut at
+    p); else the leap size chosen by the reference's check order (primary
+    i=2..23 -> leap 24-i, secondary i=0,1 -> leap 22-i, leap_based.rs:45-68).
+    The first unqualified window in that order maps to the LAST not-qualified
+    Q index in [m, m+21] (j -> leap j-m+1), else Q index m+23 (leap 22), else
+    m+22 (leap 21), else cut — one accumulate + three wheres instead of 24
+    masked passes, and bytes-indexing makes the pointer chase C-speed.
+    """
     n = len(b)
     if n < scalar.LEAP_WINDOW_SIZE:
-        return None, None, scalar.LEAP_WINDOW_SIZE
+        return None, scalar.LEAP_WINDOW_SIZE
     e0 = scalar.LEAP_WINDOW_SIZE
     acc = _EF_COLS[0][b[e0 - 1:n]]
     for k in range(1, 5):
         acc = acc ^ _EF_COLS[k][b[e0 - 1 - 42 * k:n - 42 * k]]
-    Q = acc != 0                               # Q[j] for e = e0 + j, e in [e0, n]
-    notQ = ~Q
-    # R[p]: all windows ending at p-i (i=0..23) qualified, defined for p >= e0+23
-    S = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(notQ)])
-    # for p = e0+23+m: windows e in [p-23, p] -> Q idx [m, m+24)
-    R = (S[24:] - S[:-24]) == 0                # R[m] for p = e0+23+m
-    # leap[p]: check order i=2..23 then i=0..1; first unqualified -> leap size
-    nm = len(R)
-    leap = np.zeros(nm, dtype=np.int64)
-    rem = ~R
-    # primary: i in 2..23 -> Q idx m + 23 - i ; leap = 24 - i
-    for i in range(2, 24):
-        sel = rem & notQ[23 - i:23 - i + nm]
-        leap[sel] = 24 - i
-        rem = rem & ~sel
-    for i in range(2):
-        sel = rem & notQ[23 - i:23 - i + nm]
-        leap[sel] = 22 - i
-        rem = rem & ~sel
-    return R, leap, e0 + 23
+    notQ = acc == 0                 # notQ[j] for window ending at e = e0 + j
+    nq = len(notQ)
+    nm = nq - 23                    # positions p = e0+23+m, m in [0, nm)
+    if nm <= 0:
+        return None, e0 + 23
+    idx = np.arange(nq, dtype=np.int32)
+    L = np.where(notQ, idx, np.int32(-1))
+    np.maximum.accumulate(L, out=L)          # L[j'] = last notQ index <= j'
+    j = L[21:21 + nm]
+    ms = np.arange(nm, dtype=np.int32)
+    steps = np.where(
+        j >= ms, j - ms + 1,
+        np.where(notQ[23:23 + nm], np.int32(22),
+                 np.where(notQ[22:22 + nm], np.int32(21), np.int32(0))))
+    return steps.astype(np.uint8).tobytes(), e0 + 23
 
 
 def leap_chunks(buf, min_size: int = 8192, max_size: int = 16384) -> np.ndarray:
     b = _as_u8(buf)
     n = len(b)
-    R, leap, p0 = _leap_tables(b)
+    steps, p0 = _leap_steps(b)
     out = []
     position = min_size
     chunk_start = 0
     has_cut = False
-    Rl = R.tolist() if R is not None else None
-    leapl = leap.tolist() if leap is not None else None
     while True:
         if position == n:
             if has_cut:
@@ -565,14 +690,14 @@ def leap_chunks(buf, min_size: int = 8192, max_size: int = 16384) -> np.ndarray:
                 position += min_size
                 emitted = True
                 break
-            m = position - p0
-            if Rl[m]:
+            s = steps[position - p0]
+            if s == 0:
                 out.append((chunk_start, position - chunk_start))
                 chunk_start = position
                 position += min_size
                 emitted = True
                 break
-            position += leapl[m]
+            position += s
         if not emitted:
             position = n
             has_cut = True

@@ -53,7 +53,7 @@ def test_merge_decision_join_is_column_pruned(spark, small_job):
     """The decision path must not read html/text from the lake files."""
     job, wal = small_job
     events = spark.read.parquet(f"{wal}/epoch=000001")
-    latest, keys = job._lww_latest(events)
+    latest, keys, _, _ = job._lww_latest(events)
     cur = job.lake.read(spark)
     cur_meta = cur.select("url", "warc_ts", "lsn", "content_fp", "deleted")
     plan_schemas = scan_read_schemas(cur_meta)
@@ -66,7 +66,7 @@ def test_lww_shuffles_skinny_only(spark, small_job):
     """No shuffle exchange in the LWW plan may carry the html column."""
     job, wal = small_job
     events = spark.read.parquet(f"{wal}/epoch=000001")
-    latest, keys = job._lww_latest(events)
+    latest, keys, _, _ = job._lww_latest(events)
     plan = explain_str(latest)
     # every hash-partitioning exchange's output must exclude html
     import re
@@ -83,7 +83,7 @@ def test_epoch_apply_has_bounded_wide_shuffles(spark, small_job):
     hash shuffles operate on skinny columns."""
     job, wal = small_job
     events = spark.read.parquet(f"{wal}/epoch=000001")
-    latest, keys = job._lww_latest(events)
+    latest, keys, _, _ = job._lww_latest(events)
     from pyspark.sql import functions as F
     from rust_chunking_spark.functions.chunking import sha3_256_udf
     ev_meta = latest.select(
