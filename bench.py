@@ -117,7 +117,15 @@ def query_bench(cpus: int) -> dict:
     spark = get_spark(app_name="query-bench", cpus=cpus)
     out = {}
     try:
-        spark.range(1000).count()   # warm up
+        spark.range(1000).count()   # warm up JVM
+        # warm the python-UDF worker pool (spawn + numpy/kernels import per
+        # core would otherwise be billed to the first UDF-heavy query)
+        from pyspark.sql import functions as F
+        from rust_chunking_spark.functions.chunking import fingerprint_udf
+        fp = fingerprint_udf("super")
+        (spark.range(cpus * 4).repartition(cpus)
+         .select(fp(F.encode(F.repeat(F.col("id").cast("string"), 200),
+                             "utf-8")).alias("c")).count())
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

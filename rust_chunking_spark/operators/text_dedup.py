@@ -34,17 +34,50 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True   # ASCII whitespace
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    toks = text.split()
-    if not toks:
+    """FNV-1a per token, vectorized ACROSS tokens (one numpy op per byte
+    *position*, not per byte): tokens sorted by length descending so the
+    alive set at each position is a contiguous prefix — total work is
+    O(total bytes) with no per-token Python loop.
+
+    Tokens are ASCII-whitespace-delimited runs of the UTF-8 encoding
+    (equivalent to str.split() for ASCII text; rare multibyte whitespace
+    stays inside tokens — a documented simplification that only perturbs
+    which shingles near-dup estimates are built from, identically on both
+    sides of any comparison).
+    """
+    arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n_bytes = len(arr)
+    if n_bytes == 0:
         return np.zeros(1, dtype=np.uint64)
-    # stable per-token hash: fnv-1a over utf-8 bytes, vectorized per token
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8"):
-            h = ((h ^ np.uint64(b)) * np.uint64(0x100000001B3)) & U64
-        out[i] = h
+    ws = _WS_BYTES[arr]
+    nonws = ~ws
+    starts = np.flatnonzero(nonws & np.concatenate(([True], ws[:-1])))
+    if len(starts) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    ends = np.flatnonzero(nonws & np.concatenate((ws[1:], [True]))) + 1
+    lens = ends - starts
+    order = np.argsort(-lens, kind="stable")
+    ss = starts[order]
+    ll = lens[order]                      # descending
+    n = len(ss)
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    asc = ll[::-1]                        # ascending view for searchsorted
+    k = n
+    for j in range(int(ll[0])):
+        # tokens still alive at byte position j form the prefix [0, k)
+        k = n - int(np.searchsorted(asc, j, side="right"))
+        hk = h[:k]
+        hk ^= arr[ss[:k] + j]
+        hk *= _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
     return out
 
 
@@ -82,7 +115,6 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5):
 
 def simhash64_udf():
     """pandas UDF: text -> bigint simhash (sign of per-bit weighted sums)."""
-    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
     def _sim(col: pd.Series) -> pd.Series:
@@ -92,7 +124,10 @@ def simhash64_udf():
                 out.append(None)
                 continue
             th = _token_hashes(text)
-            votes = ((th[:, None] & bits[None, :]) != 0).sum(axis=0)
+            # per-bit vote counts via unpackbits on the little-endian byte
+            # view: column j == bit j of the hash (no 64xN boolean temp)
+            votes = np.unpackbits(th.view(np.uint8).reshape(len(th), 8),
+                                  axis=1, bitorder="little").sum(axis=0)
             sig = ((votes * 2) > len(th)).astype(np.uint64)
             out.append(int((sig << np.arange(64, dtype=np.uint64)).sum()
                            .astype(np.int64)))
@@ -113,8 +148,13 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     rows = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes, shingle_k)
-    sigs = df.select(F.col(id_col).alias("id"),
-                     sig_udf(F.col(text_col)).alias("sig"))
+    # round-robin repartition before the signature UDF: a small parquet input
+    # arrives in a handful of splits, which would serialize the dominant
+    # compute (signatures) onto a couple of cores regardless of cluster size
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    sigs = src.select("id", sig_udf(F.col("__t")).alias("sig"))
     sigs = sigs.cache()
 
     band_cols = [
