@@ -55,19 +55,32 @@ def _chunk_cov(algo: str):
     return q
 
 
-def _chunk_boundaries(algo: str):
-    """Exploded (doc_id, pos, len) — exact boundaries; rows-only driver check
-    (boundary exactness itself is golden-tested against the Rust reference)."""
+def _chunk_boundary_check(algo: str):
+    """Self-validating boundary invariants, fully oracle-checkable: the
+    oracle recomputes total_len from octet_length and expects the booleans
+    literally true — any contiguity/coverage breakage in the kernel flips a
+    value and fails the hash compare. (Exact (pos,len) boundary equality vs
+    the Rust reference is golden-tested in tests/test_golden_*.py.)"""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rust_chunking_spark.functions.chunking import chunk_udf
 
         docs = _t(spark, sf_dir, "documents")
         udf = chunk_udf(algo, **CHUNK_PARAMS[algo])
-        return (docs
-                .withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
-                .select("doc_id", F.explode("chunks").alias("c"))
-                .select("doc_id", F.col("c.pos").alias("pos"),
-                        F.col("c.len").alias("len")))
+        c = (docs
+             .withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+             .select("doc_id", F.octet_length(F.encode("text", "utf-8"))
+                     .alias("n_bytes"), "chunks"))
+        contiguous = F.expr(
+            "aggregate(chunks, named_struct('nxt', 0L, 'ok', true),"
+            " (a, x) -> named_struct('nxt', x.pos + x.len,"
+            "                        'ok', a.ok AND x.pos = a.nxt),"
+            " a -> a.ok)")
+        total = F.expr("aggregate(chunks, 0L, (a, x) -> a + x.len)")
+        return (c.select("doc_id",
+                         total.alias("total_len"),
+                         contiguous.alias("contiguous"),
+                         (total == F.col("n_bytes")).alias("covered"))
+                .orderBy("doc_id"))
     return q
 
 
@@ -84,6 +97,38 @@ def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_chunks"),
         F.countDistinct("h").alias("unique_chunks"),
         F.sum("len").alias("total_bytes"))
+
+
+def _chunk_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-expressible projection of the chunk pipeline (VERDICT r1 #4):
+    doc count and total bytes derived FROM THE CHUNKS, which the oracle
+    recomputes from octet_length — a full-value check that the chunk
+    explode/agg path loses no documents and no bytes."""
+    from rust_chunking_spark.functions.chunking import chunk_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    udf = chunk_udf("super", **CHUNK_PARAMS["super"])
+    chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+              .select("doc_id", F.explode("chunks").alias("c")))
+    return chunks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("c.len").cast("long").alias("total_bytes"))
+
+
+def _q_shingle_stats(spark, sf_dir):
+    """Word-3-gram shingle stats per doc (n-gram dedup building block),
+    fully oracle-checkable: DuckDB recomputes via a list comprehension."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    shingles = F.when(n >= 3, F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.size(shingles).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"))
 
 
 # ------------------------------------------------------------- text pipeline
@@ -375,9 +420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
     for algo in CHUNK_PARAMS:
         q[f"chunk_cov_{algo}"] = _chunk_cov(algo)
-    q["chunk_boundaries_super"] = _chunk_boundaries("super")
-    q["chunk_boundaries_leap"] = _chunk_boundaries("leap")
+    q["chunk_boundary_check_super"] = _chunk_boundary_check("super")
+    q["chunk_boundary_check_leap"] = _chunk_boundary_check("leap")
     q["chunk_dedup_ratio_super"] = _chunk_dedup_ratio
+    q["chunk_corpus_totals"] = _chunk_corpus_totals
+    q["shingle_stats"] = _q_shingle_stats
     q.update({
         "doc_lang_stats": _q_doc_lang_stats,
         "doc_tokens": _q_doc_tokens,
@@ -417,6 +464,24 @@ def oracle_sql() -> dict[str, str]:
         sql[f"chunk_cov_{algo}"] = (
             "SELECT doc_id, octet_length(encode(text)) AS total_len "
             "FROM documents ORDER BY doc_id")
+    for algo in ("super", "leap"):
+        sql[f"chunk_boundary_check_{algo}"] = (
+            "SELECT doc_id, octet_length(encode(text)) AS total_len, "
+            "true AS contiguous, true AS covered "
+            "FROM documents ORDER BY doc_id")
+    sql["chunk_corpus_totals"] = (
+        "SELECT count(*) AS n_docs, "
+        "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes "
+        "FROM documents")
+    sql["shingle_stats"] = """
+        SELECT doc_id,
+               CAST(len(sh) AS INT) AS n_shingles,
+               CAST(len(list_distinct(sh)) AS INT) AS n_distinct_shingles
+        FROM (
+          SELECT doc_id,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  for i in generate_series(1, len(t) - 2)] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
     sql.update({
         "doc_lang_stats": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -46,9 +46,24 @@ FP_CHUNK_SCHEMA = ArrayType(StructType([
 ]))
 
 
-def make_chunker(algo: str, **params):
-    """Plain-Python chunker callable bytes -> np.ndarray[(n,2)] for `algo`."""
+def make_chunker(algo: str, records=None, **params):
+    """Plain-Python chunker callable bytes -> np.ndarray[(n,2)] for `algo`.
+
+    `records` (super only) is a SuperCDC seed record map — gear hash ->
+    next-chunk length (supercdc.rs:49-59) — shared across rows for cross-file
+    reuse. Accepts a plain dict (serialized once into the UDF closure) or a
+    ``sc.broadcast`` handle for large maps. Each row chunkers a FRESH COPY,
+    mirroring ``Chunker::with_records`` per file: rows must not see each
+    other's in-flight record updates (task order is nondeterministic).
+    """
     fn = V.ALGORITHMS[algo]
+    if records is not None:
+        if algo != "super":
+            raise ValueError("record maps are a SuperCDC feature")
+        def chunk_with_seed(buf):
+            seed = records.value if hasattr(records, "value") else records
+            return fn(buf, records=dict(seed), **params)
+        return chunk_with_seed
     if not params:
         return fn
     return lambda buf: fn(buf, **params)
@@ -116,3 +131,19 @@ def with_chunks(df, algo: str = "super", src_col: str = "html",
 
 def default_sizes(algo: str) -> tuple[int, int, int]:
     return DEFAULT_SIZES[algo]
+
+
+def extract_super_records(bufs, seed: dict | None = None, **params) -> dict:
+    """Run buffers SEQUENTIALLY through SuperCDC, accumulating one record map
+    (gear hash -> next-chunk length) — the reference's cross-file reuse
+    pattern (`with_records`/`give_records`, supercdc.rs:49-59, 156-158).
+
+    Record accumulation is order-dependent (a single-stream semantic), so it
+    does not distribute; the intended use at scale is: extract on a sample /
+    previous epoch's hot set locally, then pass the map as the `records=`
+    seed of `fingerprint_udf`/`chunk_udf` (broadcast, copied per row).
+    """
+    recs = dict(seed or {})
+    for buf in bufs:
+        V.super_chunks(bytes(buf), records=recs, **params)
+    return recs

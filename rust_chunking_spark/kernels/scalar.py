@@ -486,6 +486,21 @@ def leap_chunks(buf, min_size: int = 8192, max_size: int = 16384
     return out
 
 
+def ultra_generate_chunks(buf, min_size: int = 2048,
+                          normal_size: int = 10240,
+                          max_size: int = 65536) -> list[tuple[int, int]]:
+    """Ultra batch API (`generate_chunks`, ultra.rs:52-80): iterator-identical
+    except the empty buffer -> [(0, 0)] (short-circuit, ultra.rs:55-57);
+    contiguity asserted like ultra.rs:66-69."""
+    b = _as_bytes(buf)
+    if len(b) == 0:
+        return [(0, 0)]
+    out = ultra_chunks(b, min_size, normal_size, max_size)
+    for (p0, l0), (p1, _l1) in zip(out, out[1:]):
+        assert p0 + l0 == p1, "non-contiguous"
+    return out
+
+
 ALGORITHMS = {
     "ae": ae_chunks,
     "ram": ram_chunks,

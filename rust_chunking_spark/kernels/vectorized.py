@@ -506,6 +506,25 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
     return _pack(out)
 
 
+def ultra_generate_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
+                          max_size: int = 65536) -> np.ndarray:
+    """Ultra batch API (`generate_chunks`, ultra.rs:52-80).
+
+    Boundary-identical to the iterator path for every non-empty buffer (the
+    batch path's normal_size capping at ultra.rs:59-61 only matters when
+    chk_len could reach the cap, which check_border pre-empts); the one
+    observable difference is the small-buffer short-circuit (ultra.rs:55-57):
+    an EMPTY buffer yields [(0, 0)] where the iterator yields nothing. The
+    built-in contiguity assert (ultra.rs:66-69) is replicated.
+    """
+    b = _as_u8(buf)
+    if len(b) == 0:
+        return np.array([[0, 0]], dtype=np.int64)
+    out = ultra_chunks(b, min_size, normal_size, max_size)
+    assert (out[1:, 0] == out[:-1, 0] + out[:-1, 1]).all(), "non-contiguous"
+    return out
+
+
 def _eq_run_end(eq: np.ndarray, k: int, carry: int, inclusive: bool = True) -> int:
     """equal_window_count after processing windows [0, k] (or [0, k) )."""
     end = k + 1 if inclusive else k

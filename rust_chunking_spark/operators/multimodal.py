@@ -37,11 +37,29 @@ IMAGE_FEATURE_SCHEMA = StructType([
 ])
 
 
+try:                         # optional real codec: use PIL when present
+    from PIL import Image as _PILImage
+except ImportError:          # this container ships no image libraries
+    _PILImage = None
+
+
 def _fake_decode(payload: bytes, target: tuple[int, int] = (32, 32)):
     """Deterministic stand-in for an image decoder: seeded pseudo-pixels."""
     seed = int.from_bytes(hashlib.sha3_256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (*target, 3), dtype=np.uint8)
+
+
+def _pil_decode(payload: bytes, target: tuple[int, int] = (32, 32)):
+    """Real decode path (taken automatically when PIL is importable):
+    decode -> RGB -> resize to the target grid, returning the same
+    (H, W, 3) uint8 tensor shape as the fake decoder."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    orig = img.size                     # (width, height)
+    img = img.resize((target[1], target[0]))
+    return np.asarray(img, dtype=np.uint8), orig
 
 
 def decode_and_featurize(df: DataFrame, payload_col: str = "payload",
@@ -65,11 +83,14 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload",
                     hs.append(None)
                     fmts.append(None)
                     continue
-                if not fake:
+                if not fake and _PILImage is None:
                     raise NotImplementedError(
                         "real image decoding requires PIL/libvips; "
                         "not available in this container")
-                img = _fake_decode(bytes(payload))
+                if not fake:
+                    img, _orig = _pil_decode(bytes(payload))
+                else:
+                    img = _fake_decode(bytes(payload))
                 h, w, _ = img.shape
                 # toy feature: per-cell channel means over a grid
                 g = int(np.sqrt(n_features // 3)) or 1
@@ -79,7 +100,7 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload",
                              .astype(np.float32).tolist())
                 ws.append(w)
                 hs.append(h)
-                fmts.append("fake-rgb")
+                fmts.append("fake-rgb" if fake else "rgb")
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
                 "width": pd.array(ws, dtype="Int32"),

@@ -19,7 +19,6 @@ def test_oracle_keys_subset_of_queries():
     # rows-only entries are the genuinely non-SQL-expressible ones
     rows_only = set(q) - set(o)
     assert rows_only <= {
-        "chunk_boundaries_super", "chunk_boundaries_leap",
         "chunk_dedup_ratio_super", "minhash_dup_pairs", "simhash_docs",
         "ann_lsh_topk", "chunk_stats_all"}
 

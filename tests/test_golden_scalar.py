@@ -11,6 +11,15 @@ import pytest
 from rust_chunking_spark.kernels import scalar as K
 
 # key suffix -> callable(buf) with the params golden_gen used
+def _super_with_prefix_records(fn, b, mn, avg, mx):
+    """Mirror golden_gen super_records: seed the record map by chunking the
+    first half, then chunk the full buffer with the carried records
+    (with_records/give_records, supercdc.rs:49-59, 156-158)."""
+    recs = {}
+    fn(bytes(b)[:len(b) // 2], mn, avg, mx, records=recs)
+    return fn(b, mn, avg, mx, records=recs)
+
+
 CASE_RUNNERS = {
     ("ae", "default"): lambda b: K.ae_chunks(b, 8192, 16384),
     ("ae", "filetest"): lambda b: K.ae_chunks(b, 4096, 16384),
@@ -27,6 +36,14 @@ CASE_RUNNERS = {
     ("ultra", "default"): lambda b: K.ultra_chunks(b, 2048, 10240, 65536),
     ("ultra", "custom"): lambda b: K.ultra_chunks(b, 1024, 4096, 16384),
     ("leap", "default"): lambda b: K.leap_chunks(b, 8192, 16384),
+    ("ultra_batch", "default"): lambda b: K.ultra_generate_chunks(
+        b, 2048, 10240, 65536),
+    ("ultra_batch", "custom"): lambda b: K.ultra_generate_chunks(
+        b, 1024, 4096, 16384),
+    ("super_records", "default"): lambda b: _super_with_prefix_records(
+        K.super_chunks, b, 4096, 8192, 65536),
+    ("super_records", "custom"): lambda b: _super_with_prefix_records(
+        K.super_chunks, b, 2048, 4096, 32768),
 }
 
 # scalar kernels are slow; cap per-case input so the suite stays fast.

@@ -112,3 +112,29 @@ def test_multimodal_feature_plumbing(spark):
     again = {r.media_id: r.features for r in
              decode_and_featurize(df, n_features=12).collect()}
     assert again[3] == by_id[3].features
+
+
+def test_multimodal_real_codec_when_pil_present(spark):
+    """fake=False uses PIL when importable (real PNG fixture), else raises a
+    documented NotImplementedError — both behaviors under one test."""
+    import pytest
+
+    from rust_chunking_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"not-a-real-png")],
+                               "media_id long, payload binary")
+    if mm._PILImage is None:
+        with pytest.raises(Exception):
+            decode_and_featurize(df, fake=False).collect()
+    else:
+        import io
+
+        img = mm._PILImage.new("RGB", (40, 20), (10, 200, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        real = spark.createDataFrame([(1, buf.getvalue())],
+                                     "media_id long, payload binary")
+        rows = decode_and_featurize(real, fake=False).collect()
+        assert rows[0].format == "rgb"
+        assert len(rows[0].features) == 16
+        assert rows[0].width == 32 and rows[0].height == 32

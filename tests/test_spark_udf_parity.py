@@ -51,3 +51,40 @@ def test_sha3_udf(spark):
     got = df.select(sha3_256_udf(F.col("b")).alias("h")).collect()
     assert bytes(got[0].h) == hashlib.sha3_256(b"abc").digest()
     assert got[1].h is None
+
+
+def test_super_records_seed_parity(spark):
+    """chunk_udf(records=seed) must equal the local kernel given the same
+    seed map per row (Chunker::with_records semantics: fresh copy per file)."""
+    import numpy as np
+
+    from rust_chunking_spark.functions.chunking import (chunk_udf,
+                                                        extract_super_records)
+    from rust_chunking_spark.kernels import vectorized as V
+
+    rng = np.random.default_rng(17)
+    seed_docs = [rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
+                 for _ in range(3)]
+    # low-entropy targets so record hits actually fire
+    targets = [seed_docs[0], seed_docs[1][:15000] + seed_docs[2][:5000],
+               rng.integers(0, 4, 30000, dtype=np.uint8).tobytes()]
+    params = dict(min_size=2048, avg_size=4096, max_size=32768)
+    seed = extract_super_records(seed_docs, **params)
+    assert seed  # the seed map is non-trivial
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(targets)],
+                               "i long, buf binary")
+    udf = chunk_udf("super", records=seed, **params)
+    rows = {r.i: r.c for r in
+            df.select("i", udf(F.col("buf")).alias("c")).collect()}
+    for i, t in enumerate(targets):
+        local = V.super_chunks(t, records=dict(seed), **params)
+        got = [(c.pos, c.len) for c in rows[i]]
+        assert got == [(int(p), int(ln)) for p, ln in local]
+    # seeded chunking differs from unseeded on at least one target
+    # (proves the seed map actually flowed into the UDF)
+    diff = any(
+        [(c.pos, c.len) for c in rows[i]]
+        != [(int(p), int(ln)) for p, ln in V.super_chunks(t, **params)]
+        for i, t in enumerate(targets))
+    assert diff

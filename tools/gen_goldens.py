@@ -65,6 +65,10 @@ CASES = [
     ("super", ["2048", "4096", "32768"], "custom"),
     ("ultra", [], "default"),
     ("ultra", ["1024", "4096", "16384"], "custom"),
+    ("ultra_batch", [], "default"),             # batch API, ultra.rs:52-80
+    ("ultra_batch", ["1024", "4096", "16384"], "custom"),
+    ("super_records", [], "default"),           # record-map reuse, supercdc.rs:49-59
+    ("super_records", ["2048", "4096", "32768"], "custom"),
     ("leap", [], "default"),
 ]
 

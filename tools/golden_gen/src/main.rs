@@ -21,8 +21,8 @@ fn main() {
             "ram" => ram::Chunker::default_sizes(),
             "rabin" | "rabin_zero" => rabin::Chunker::default_sizes(),
             "seq" => seq::Chunker::default_sizes(),
-            "super" => supercdc::Chunker::default_sizes(),
-            "ultra" => ultra::Chunker::default_sizes(),
+            "super" | "super_records" => supercdc::Chunker::default_sizes(),
+            "ultra" | "ultra_batch" => ultra::Chunker::default_sizes(),
             "leap" => leap_based::Chunker::default_sizes(),
             _ => panic!("unknown algo"),
         }
@@ -55,7 +55,17 @@ fn main() {
                 supercdc::Chunker::new(&buf).collect()
             }
         }
+        "super_records" => {
+            // cross-file record-map reuse (supercdc.rs:49-59, 156-158):
+            // chunk the first half, carry its records into a full-buffer run
+            let half = &buf[..buf.len() / 2];
+            let mut seed = supercdc::Chunker::with_records(half, Default::default(), sizes);
+            let _drain: Vec<Chunk> = seed.by_ref().collect();
+            let records = seed.give_records();
+            supercdc::Chunker::with_records(&buf, records, sizes).collect()
+        }
         "ultra" => ultra::Chunker::new(&buf, sizes).collect(),
+        "ultra_batch" => ultra::Chunker::new(&buf, sizes).generate_chunks(),
         "leap" => leap_based::Chunker::new(&buf, sizes).collect(),
         _ => panic!("unknown algo"),
     };
