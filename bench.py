@@ -43,7 +43,9 @@ AVG_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "2500"))
 # 2->8 — beyond ~8 threads one shared memory bus saturates, which a real
 # cluster (4N executors = 4N memory buses) does not exhibit. See BENCH.md.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-N_EPOCHS = 2
+# replay shape: epoch 0 bulk-inserts n_pages, later epochs are BENCH_EVENTS
+# CC-recrawl-mix events each (see datagen/bench_wal.py)
+N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "3"))
 # scratch on tmpfs: the bench measures the engine, not this box's throttled
 # burst-credit disk volume
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -57,18 +59,22 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
-    from rust_chunking_spark.engine import BucketedLake, CdcIngestJob
+def replay_bench(cpus: int, wal_dir: str, total_events: int,
+                 lake_mode: str | None = None) -> dict:
+    from rust_chunking_spark.engine import (BucketedLake, CdcIngestJob,
+                                            MorBucketedLake)
     from rust_chunking_spark.engine.lake import AppendOnlyTable
     from rust_chunking_spark.session import get_spark
 
+    lake_mode = lake_mode or os.environ.get("SPARK_GRAFT_LAKE", "mor")
     # identical layout at every parallelism level: the scaling measurement
     # must vary ONLY the core count, not partitioning or file counts
     spark = get_spark(app_name=f"cdc-replay-{cpus}", cpus=cpus,
                       shuffle_partitions=32)
     tmp = tempfile.mkdtemp(prefix=f"lake-{cpus}-", dir=SCRATCH)
     try:
-        lake = BucketedLake(f"{tmp}/lake", n_buckets=32)
+        lake_cls = MorBucketedLake if lake_mode == "mor" else BucketedLake
+        lake = lake_cls(f"{tmp}/lake", n_buckets=32)
         job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp}/chunks"),
                            AppendOnlyTable(f"{tmp}/metrics"), algo="super",
                            collect_metrics=False)
@@ -95,7 +101,7 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int) -> dict:
         dt = time.perf_counter() - t0
         seen = sum(m.events_seen for m in results) or total_events
         return {"cpus": cpus, "seconds": dt, "events": seen,
-                "events_per_sec": seen / dt}
+                "events_per_sec": seen / dt, "lake": lake_mode}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -210,7 +216,7 @@ def main():
     kscale = kernel_scaling()
 
     # deterministic cached WAL: repeated bench invocations in a round reuse it
-    key = f"bench-wal-{BENCH_PAGES}-{BENCH_EVENTS}-{AVG_WORDS}"
+    key = f"bench-wal2-{BENCH_PAGES}-{BENCH_EVENTS}-{AVG_WORDS}-{N_EPOCHS}"
     wal_dir = os.path.join(SCRATCH or tempfile.gettempdir(), key)
     try:
         marker = os.path.join(wal_dir, "_DONE")
@@ -282,6 +288,7 @@ def main():
             },
             "kernel_scaling": kscale,
             "replay_events": total,
+            "lake_mode": scal[CPUS].get("lake", "cow"),
             "kernels_mb_s": kernels,
         }
         print(json.dumps(result))

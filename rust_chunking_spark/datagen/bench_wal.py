@@ -59,20 +59,27 @@ def write_bench_wal(spark, out_dir: str, n_pages: int, events_per_epoch: int,
                     i = int(i)
                     r = np.random.default_rng(
                         np.array([seed, 0xEE, ep, i], dtype=np.uint64))
+                    late = False
                     if ep == 0:
                         pid, version, op = i, 0, "I"
                     else:
+                        # CC-recrawl-shaped mix: most recrawls are unchanged
+                        # (no-op), a minority changed, some deletes, some late
+                        # re-deliveries of the previous epoch's version
                         pid = int(r.integers(0, n_pages))
                         roll = r.random()
-                        if roll < 0.05:
+                        if roll < 0.08:
                             version, op = ep - 1, "D"
-                        elif roll < 0.25:
+                        elif roll < 0.38:
                             version, op = 0, "U"       # no-op recrawl of v0
+                        elif roll < 0.43:
+                            version, op, late = max(0, ep - 1), "U", True
                         else:
                             version, op = ep, "U"
                     url = f"https://site{pid % 64:03d}.example.com/page/{pid}"
                     lsn = ep * 10_000_000 + i
-                    ts = base + pd.Timedelta(minutes=ep * 2000 + (i % 1000))
+                    ts_ep = ep - 1 if late else ep
+                    ts = base + pd.Timedelta(minutes=ts_ep * 2000 + (i % 1000))
                     if op == "D":
                         html, text = None, None
                     else:

@@ -1,2 +1,2 @@
-from .lake import BucketedLake  # noqa: F401
+from .lake import BucketedLake, MorBucketedLake  # noqa: F401
 from .ingest import CdcIngestJob, IngestMetrics  # noqa: F401

@@ -38,8 +38,8 @@ import dataclasses
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.chunking import (FP_CHUNK_SCHEMA, fingerprint_udf,
-                                  sha3_256_udf)
+from ..functions.chunking import (FP_CHUNK_SCHEMA, content_udf,
+                                  fingerprint_udf, sha3_256_udf)
 from .lake import AppendOnlyTable, BucketedLake
 
 SALT_BUCKETS = 16
@@ -189,46 +189,162 @@ class CdcIngestJob:
         m.events_seen = int(sum(r.seen for r in per_bucket))
         m.in_batch_superseded = m.events_seen - n_winners
 
-        # --- skinny decision join: column-pruned lake read (no html/text IO);
-        # sha3 runs exactly once here, result lives in the skinny cache
-        cur_wide = self.lake.read(self.spark, buckets=dirty)
+        mor = getattr(self.lake, "MOR", False)
         extras = [c for c in latest.columns
                   if c not in {"url", "warc_ts", "lsn", "op", "html", "text",
                                "lang", "__fp", "n_events", "epoch"}]
+        if mor:
+            merge_files, iu_urls = self._apply_epoch_mor(
+                m, latest, dirty, n_winners, extras, epoch, _mark)
+        else:
+            merge_files, iu_urls = self._apply_epoch_cow(
+                m, latest, dirty, n_winners, extras, epoch, _mark)
+
+        # derive the chunk store from the just-written files: a column-pruned
+        # read of (url, chunks) only — html never re-read. Crash between the
+        # lake commit and this append is repaired by run() via snapshot stats.
+        chunk_stats = self._update_chunk_store(merge_files, iu_urls, n_winners,
+                                               epoch)
+        _mark("chunk_store")
+        m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
+        keys.unpersist()
+        self.last_phase_timings = phases
+        return m
+
+    # ----------------------------------------------------------- COW variant
+
+    def _apply_epoch_cow(self, m: IngestMetrics, latest: DataFrame,
+                         dirty: list[int], n_winners: int, extras: list[str],
+                         epoch: int, _mark) -> tuple[list[str], DataFrame]:
+        """Copy-on-write apply: column-pruned decision read, full dirty-bucket
+        rewrite (wide carry/noop rows flow source->writer untouched)."""
+        cur_wide = self.lake.read(self.spark, buckets=dirty)
         ev_meta = latest.select(
             "url", F.col("warc_ts").alias("ev_warc_ts"),
             F.col("lsn").alias("ev_lsn"), F.col("op").alias("ev_op"),
             sha3_256_udf(F.col("html")).alias("ev_fp"),
             *[F.col(c).alias(f"ev_x_{c}") for c in extras])
-        if cur_wide is None:
-            decided = (ev_meta
-                       .withColumn("cur_warc_ts", F.lit(None).cast("timestamp"))
-                       .withColumn("cur_lsn", F.lit(None).cast("long"))
-                       .withColumn("cur_fp", F.lit(None).cast("binary"))
-                       .withColumn("cur_deleted", F.lit(None).cast("boolean"))
-                       .withColumn("cur_exists", F.lit(False)))
-        else:
-            cur_meta = cur_wide.select(
-                "url", F.col("warc_ts").alias("cur_warc_ts"),
-                F.col("lsn").alias("cur_lsn"),
-                F.col("content_fp").alias("cur_fp"),
-                F.col("deleted").alias("cur_deleted"),
-                F.lit(True).alias("cur_exists"))
-            decided = (ev_meta.join(cur_meta, "url", "left")
-                       .withColumn("cur_exists",
-                                   F.coalesce(F.col("cur_exists"), F.lit(False))))
-        decided = decided.withColumn("decision", self._decision_expr()).cache()
+        decided = self._join_cur(ev_meta, cur_wide).withColumn(
+            "decision", self._decision_expr()).cache()
+        lineage_rows = self._collect_lineage(decided, epoch, m)
+        _mark("decide_collect")
+        new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
+                                                n_winners, extras)
+        self._append_metrics(lineage_rows, epoch)
+        _mark("metrics_write")
+        stats = {"__schema": new_rows.schema.json(), **dataclasses.asdict(m)}
+        merge_files = self.lake.overwrite_buckets(new_rows, dirty, epoch,
+                                                  stats)
+        _mark("merge_write")
+        decided.unpersist()
+        return merge_files, iu_urls
 
-        # fused action: ONE collect of the per-(bucket, decision) lineage
-        # materializes the decided cache, yields the verdict counts, AND is
-        # the metrics payload — three driver round-trips folded into one.
+    # ----------------------------------------------------------- MoR variant
+
+    def _apply_epoch_mor(self, m: IngestMetrics, latest: DataFrame,
+                         dirty: list[int], n_winners: int, extras: list[str],
+                         epoch: int, _mark) -> tuple[list[str], DataFrame]:
+        """Merge-on-read apply with ONE wide pass over the events.
+
+        The COW path decodes the wide event column twice (a sha3 decision
+        pass, then the chunk+write pass). Here content candidates (inserts +
+        anything needing a fingerprint comparison) are chunked AND
+        fingerprinted in a single fused UDF pass whose output is written
+        straight to uncommitted delta files; the no-op/update split is then
+        decided from the just-written files' SKINNY (url, content_fp)
+        columns. No-op rows ride along in the delta but are never referenced
+        by meta (compaction drops them) — trading ~the no-op fraction of
+        delta bytes for an entire wide decode pass per epoch.
+        """
+        cur_meta_raw = self.lake.read_meta(self.spark, buckets=dirty)
+        ev_pre = latest.select(
+            "url", F.col("warc_ts").alias("ev_warc_ts"),
+            F.col("lsn").alias("ev_lsn"), F.col("op").alias("ev_op"),
+            *[F.col(c).alias(f"ev_x_{c}") for c in extras])
+        pre = self._join_cur(ev_pre, cur_meta_raw).withColumn(
+            "pre_decision", self._pre_decision_expr()).cache()
+
+        # the ONE wide job: scan events -> fused fp+chunk UDF -> delta files
+        cand_urls = (pre.filter(F.col("pre_decision")
+                                .isin("insert", "content_check"))
+                     .select("url"))
+        c_udf = content_udf(self.algo, **self.chunk_params)
+        cand_rows = (latest
+                     .join(self._bcast(cand_urls, n_winners), "url",
+                           "left_semi")
+                     .withColumn("__c", c_udf(F.col("html")))
+                     .select("url", "warc_ts", "lsn", "html", "text", "lang",
+                             F.col("__c.fp").alias("content_fp"),
+                             F.col("__c.chunks").alias("chunks")))
+        written = self.lake.write_delta(cand_rows, dirty, epoch)
+        _mark("content_write")
+
+        staged = self.lake.read_files(self.spark, written)
+        if staged is not None:
+            staged_fp = staged.select("url", F.col("content_fp").alias("ev_fp"))
+            decided = pre.join(staged_fp, "url", "left")
+        else:
+            decided = pre.withColumn("ev_fp", F.lit(None).cast("binary"))
+        decided = decided.withColumn(
+            "decision",
+            F.when(F.col("pre_decision") == "content_check",
+                   F.when(F.col("ev_fp") == F.col("cur_fp"), F.lit("noop"))
+                   .otherwise(F.lit("update")))
+            .otherwise(F.col("pre_decision"))).cache()
+        lineage_rows = self._collect_lineage(decided, epoch, m)
+        _mark("decide_collect")
+
+        meta_rows = self._assemble_mor_meta(decided, cur_meta_raw, extras,
+                                            n_winners)
+        iu_urls = (decided.filter(F.col("decision").isin("insert", "update"))
+                   .select("url"))
+        self._append_metrics(lineage_rows, epoch)
+        _mark("metrics_write")
+        stats = {"__schema": self._mor_read_schema(cand_rows, meta_rows,
+                                                   extras),
+                 "__meta_schema": meta_rows.schema.json(),
+                 **dataclasses.asdict(m)}
+        self.lake.commit_delta(written, meta_rows, dirty, epoch, stats)
+        _mark("merge_write")
+        pre.unpersist()
+        decided.unpersist()
+        return written, iu_urls
+
+    # ------------------------------------------------------------- decisions
+
+    @staticmethod
+    def _join_cur(ev_meta: DataFrame, cur_state: DataFrame | None
+                  ) -> DataFrame:
+        """Attach cur_* columns (from a COW column-pruned read or a MoR meta
+        read — both expose url/warc_ts/lsn/content_fp/deleted)."""
+        if cur_state is None:
+            return (ev_meta
+                    .withColumn("cur_warc_ts", F.lit(None).cast("timestamp"))
+                    .withColumn("cur_lsn", F.lit(None).cast("long"))
+                    .withColumn("cur_fp", F.lit(None).cast("binary"))
+                    .withColumn("cur_deleted", F.lit(None).cast("boolean"))
+                    .withColumn("cur_exists", F.lit(False)))
+        cur_meta = cur_state.select(
+            "url", F.col("warc_ts").alias("cur_warc_ts"),
+            F.col("lsn").alias("cur_lsn"),
+            F.col("content_fp").alias("cur_fp"),
+            F.col("deleted").alias("cur_deleted"),
+            F.lit(True).alias("cur_exists"))
+        return (ev_meta.join(cur_meta, "url", "left")
+                .withColumn("cur_exists",
+                            F.coalesce(F.col("cur_exists"), F.lit(False))))
+
+    def _collect_lineage(self, decided: DataFrame, epoch: int,
+                         m: IngestMetrics) -> list:
+        """Fused action: ONE collect of the per-(bucket, decision) lineage
+        materializes the decided cache, yields the verdict counts, AND is
+        the metrics payload — three driver round-trips folded into one."""
         lineage_rows = (decided
                         .withColumn("bucket", self.lake.bucket_expr())
                         .groupBy("bucket", "decision")
                         .agg(F.count("*").alias("cnt"))
                         .withColumn("epoch", F.lit(epoch))
                         .collect())
-        _mark("decide_collect")
         verdicts: dict[str, int] = {}
         for r in lineage_rows:
             verdicts[r.decision] = verdicts.get(r.decision, 0) + int(r.cnt)
@@ -239,30 +355,7 @@ class CdcIngestJob:
         m.skipped_noop = verdicts.get("noop", 0)
         m.skipped_late = verdicts.get("skip_late", 0)
         m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
-
-        new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
-                                                n_winners, extras)
-
-        self._append_metrics(lineage_rows, epoch)
-        _mark("metrics_write")
-        stats = {"__schema": new_rows.schema.json(),
-                 **dataclasses.asdict(m)}
-        merge_files = self.lake.overwrite_buckets(new_rows, dirty, epoch, stats)
-        _mark("merge_write")
-
-        # derive the chunk store from the just-written files: a column-pruned
-        # read of (url, chunks) only — html never re-read. Crash between the
-        # lake commit and this append is repaired by run() via snapshot stats.
-        chunk_stats = self._update_chunk_store(merge_files, iu_urls, n_winners,
-                                               epoch)
-        _mark("chunk_store")
-        m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
-        decided.unpersist()
-        keys.unpersist()
-        self.last_phase_timings = phases
-        return m
-
-    # ------------------------------------------------------------- decisions
+        return lineage_rows
 
     @staticmethod
     def _decision_expr():
@@ -282,6 +375,27 @@ class CdcIngestJob:
             .when(F.col("cur_deleted"), F.lit("insert"))
             .when(F.col("ev_fp") == F.col("cur_fp"), F.lit("noop"))
             .otherwise(F.lit("update")))
+
+    @staticmethod
+    def _pre_decision_expr():
+        """Decision WITHOUT the fingerprint comparison: rows that need it
+        come out as 'content_check' and split into noop/update after the
+        fused content pass computes fingerprints."""
+        ev_newer = (
+            (F.col("ev_warc_ts") > F.col("cur_warc_ts"))
+            | ((F.col("ev_warc_ts") == F.col("cur_warc_ts"))
+               & (F.col("ev_lsn") > F.col("cur_lsn"))))
+        ev_equal = ((F.col("ev_warc_ts") == F.col("cur_warc_ts"))
+                    & (F.col("ev_lsn") == F.col("cur_lsn")))
+        return (
+            F.when(~F.col("cur_exists"),
+                   F.when(F.col("ev_op") == "D", F.lit("delete_noexist"))
+                   .otherwise(F.lit("insert")))
+            .when(ev_equal, F.lit("skip_duplicate"))
+            .when(~ev_newer, F.lit("skip_late"))
+            .when(F.col("ev_op") == "D", F.lit("delete"))
+            .when(F.col("cur_deleted"), F.lit("insert"))
+            .otherwise(F.lit("content_check")))
 
     # ---------------------------------------------------------- row assembly
 
@@ -347,6 +461,109 @@ class CdcIngestJob:
                    .unionByName(out, allowMissingColumns=True))
 
         return out, iu_urls
+
+    # ------------------------------------------------------- MoR row assembly
+
+    def _assemble_mor_meta(self, decided: DataFrame,
+                           cur_meta: DataFrame | None, extras: list[str],
+                           n_winners: int) -> DataFrame:
+        """Skinny meta for the dirty buckets, rebuilt from current meta +
+        this batch's verdicts. All joins are broadcast on the verdict side
+        (map-side); wide data is never touched here.
+        """
+        applied = F.col("decision").isin(
+            "insert", "update", "delete", "delete_noexist", "noop")
+        iu_dec = F.col("decision").isin("insert", "update")
+        del_dec = F.col("decision").isin("delete", "delete_noexist")
+        upd = decided.select("url", "decision", "cur_exists", "ev_warc_ts",
+                             "ev_lsn", "ev_fp",
+                             *[f"ev_x_{c}" for c in extras])
+
+        old_extras = ([c for c in cur_meta.columns if c not in {
+            "url", "warc_ts", "lsn", "content_ts", "content_lsn",
+            "content_fp", "deleted"}] if cur_meta is not None else [])
+        all_extras = list(dict.fromkeys(old_extras + extras))
+        noop_dec = F.col("decision") == "noop"
+        ev_types = {c: decided.schema[f"ev_x_{c}"].dataType for c in extras}
+        cur_types = ({f.name: f.dataType for f in cur_meta.schema.fields}
+                     if cur_meta is not None else {})
+
+        def _extra_expr(c):
+            # COW parity per decision: insert/update/noop take the event
+            # value (old-only columns null out on insert/update but survive
+            # noop); delete nulls; carry/skip keep current.
+            null = F.lit(None).cast(ev_types.get(c) or cur_types.get(c))
+            ev = F.col(f"ev_x_{c}") if c in extras else null
+            cur = F.col(c) if c in old_extras else null
+            e_noop = ev if c in extras else cur
+            return (F.when(iu_dec, ev)
+                    .when(del_dec, null)
+                    .when(noop_dec, e_noop)
+                    .otherwise(cur).alias(c))
+
+        parts = []
+        if cur_meta is not None:
+            existing = cur_meta.join(
+                self._bcast(upd.filter(F.col("cur_exists")), n_winners),
+                "url", "left")
+            parts.append(existing.select(
+                "url",
+                F.when(applied, F.col("ev_warc_ts"))
+                 .otherwise(F.col("warc_ts")).alias("warc_ts"),
+                F.when(applied, F.col("ev_lsn"))
+                 .otherwise(F.col("lsn")).alias("lsn"),
+                F.when(iu_dec, F.col("ev_warc_ts"))
+                 .otherwise(F.col("content_ts")).alias("content_ts"),
+                F.when(iu_dec, F.col("ev_lsn"))
+                 .otherwise(F.col("content_lsn")).alias("content_lsn"),
+                F.when(iu_dec, F.col("ev_fp"))
+                 .otherwise(F.col("content_fp")).alias("content_fp"),
+                F.when(del_dec, F.lit(True)).when(iu_dec, F.lit(False))
+                 .otherwise(F.col("deleted")).alias("deleted"),
+                *[_extra_expr(c) for c in all_extras]))
+        # urls new to the lake: insert or delete_noexist — meta built purely
+        # from event values, no join needed (cur_exists was computed upstream)
+        fresh = upd.filter(~F.col("cur_exists"))
+        parts.append(fresh.select(
+            "url",
+            F.col("ev_warc_ts").alias("warc_ts"),
+            F.col("ev_lsn").alias("lsn"),
+            F.when(iu_dec, F.col("ev_warc_ts")).alias("content_ts"),
+            F.when(iu_dec, F.col("ev_lsn")).alias("content_lsn"),
+            F.when(iu_dec, F.col("ev_fp")).alias("content_fp"),
+            del_dec.alias("deleted"),
+            *[F.when(iu_dec, F.col(f"ev_x_{c}") if c in extras
+                     else F.lit(None).cast(cur_types.get(c) or "string"))
+              .alias(c) for c in all_extras]))
+        meta_rows = parts[0]
+        for p in parts[1:]:
+            meta_rows = meta_rows.unionByName(p, allowMissingColumns=True)
+        return meta_rows
+
+    def _mor_read_schema(self, wide_rows: DataFrame, meta_rows: DataFrame,
+                         extras: list[str]) -> str:
+        """Cumulative read-output schema (matches the COW lake's row shape):
+        wide content columns + deleted + prior epochs' extras + this batch's."""
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        ws = {f.name: f for f in wide_rows.schema.fields}
+        ms = {f.name: f for f in meta_rows.schema.fields}
+        fields = [ws["url"], ws["warc_ts"], ws["lsn"], ws["html"], ws["text"],
+                  ws["lang"], ws["content_fp"],
+                  StructField("deleted", BooleanType(), True), ws["chunks"]]
+        have = {f.name for f in fields}
+        prior = self.lake._schema_from_json(
+            self.lake.current_snapshot().get("schema"))
+        if prior is not None:
+            for f in prior.fields:
+                if f.name not in have:
+                    fields.append(f)
+                    have.add(f.name)
+        for c in extras:
+            if c not in have:
+                fields.append(ms[c])
+                have.add(c)
+        return StructType(fields).json()
 
     # ------------------------------------------------------------ chunk store
 

@@ -236,6 +236,9 @@ class BucketedLake:
                 snap = json.load(f)
             for fl in snap["files"].values():
                 live.update(f.split("/")[0] for f in fl)
+            # MoR lakes also reference skinny meta directories
+            for fl in snap.get("meta_files", {}).values():
+                live.update(f.split("/")[0] for f in fl)
         removed = 0
         data_dir = os.path.join(self.path, "data")
         for entry in os.listdir(data_dir):
@@ -260,6 +263,250 @@ class BucketedLake:
         snap = self.current_snapshot()
         snap = {**snap, "version": snap["version"] + 1, "schema": schema_ddl}
         self._commit(snap)
+
+
+class MorBucketedLake(BucketedLake):
+    """Merge-on-read variant (Iceberg MoR equivalent) of the bucketed lake.
+
+    The COW lake rewrites every dirty bucket's WIDE rows each MERGE — at a
+    Common-Crawl change rate that is an O(table) html rewrite per epoch, and
+    it is exactly the bandwidth-bound stage that dominates replay time. MoR
+    splits the table:
+
+    - **meta (skinny, copy-on-write)**: one row per url — current
+      (warc_ts, lsn), a content pointer (content_ts, content_lsn) naming the
+      wide row that holds the current payload, content_fp, deleted, plus any
+      additively-evolved event columns. ~100 B/row, so per-epoch bucket
+      rewrites stay cheap at any scale.
+    - **wide (append-only deltas)**: immutable parquet per epoch per bucket
+      holding ONLY freshly-chunked insert/update rows. No carry/noop rewrite:
+      ingest IO is O(changed bytes), not O(table bytes).
+
+    Reads reconstruct current rows by joining wide deltas to the meta
+    pointers (url, content_ts, content_lsn) — the classic MoR read
+    amplification, bounded by `compact()`, which folds a bucket's deltas
+    into one file. Snapshot/commit/expire/time-travel machinery is inherited
+    unchanged: one manifest lists both file sets, and the atomic CURRENT
+    flip commits them together (exactly-once).
+    """
+
+    MOR = True
+    #: wide delta schema (content rows only; warc_ts/lsn here are the CONTENT
+    #: version keys the meta pointer references)
+    WIDE_COLS = ["url", "warc_ts", "lsn", "html", "text", "lang",
+                 "content_fp", "chunks"]
+
+    # ------------------------------------------------------------------ meta
+
+    def read_meta(self, spark: SparkSession, buckets: list[int] | None = None
+                  ) -> DataFrame | None:
+        """Current skinny state (url -> LWW metadata + content pointer)."""
+        snap = self.current_snapshot()
+        sel = snap.get("meta_files", {})
+        if buckets is not None:
+            sel = {str(b): sel.get(str(b), []) for b in buckets}
+        files = [f for fl in sel.values() for f in fl]
+        schema = self._schema_from_json(snap.get("meta_schema"))
+        if not files:
+            if schema is None:
+                return None
+            return spark.createDataFrame([], schema)
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(*[os.path.join(self.path, "data", f) for f in files]))
+        if schema is not None:
+            empty = spark.createDataFrame([], schema)
+            df = df.unionByName(empty, allowMissingColumns=True)
+            df = df.select(*[F.col(c) for c in empty.columns])
+        return df
+
+    # ----------------------------------------------------------------- write
+
+    def write_delta(self, wide_rows: DataFrame, dirty_buckets: list[int],
+                    epoch: int) -> list[str]:
+        """Write the epoch's wide content delta WITHOUT committing (files are
+        invisible until ``commit_delta`` flips the snapshot; a crash in
+        between leaves orphans that ``expire_snapshots`` collects). The split
+        lets the engine read the just-written files (their skinny columns)
+        to finish no-op decisions before committing — one wide pass total."""
+        token = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        n_part = max(1, len(dirty_buckets))
+        wide_dir = os.path.join(self.path, "data", f"delta-{token}")
+        (wide_rows.withColumn("__bucket", self.bucket_expr())
+         .repartition(n_part, "__bucket")
+         .write.partitionBy("__bucket").mode("overwrite").parquet(wide_dir))
+        return [f"delta-{token}/{e}" for e in os.listdir(wide_dir)
+                if e.startswith("__bucket=")]
+
+    def commit_delta(self, written: list[str], meta_rows: DataFrame,
+                     dirty_buckets: list[int], epoch: int,
+                     stats: dict | None = None) -> list[str]:
+        """Atomically commit previously-written wide delta files + the dirty
+        buckets' new skinny meta in one snapshot flip."""
+        snap = self.current_snapshot()
+        token = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        n_part = max(1, len(dirty_buckets))
+        new_files = dict(snap["files"])
+        for rel in written:
+            b = rel.split("__bucket=", 1)[1]
+            new_files.setdefault(b, [])
+            new_files[b] = new_files[b] + [rel]          # APPEND, not replace
+
+        meta_dir = os.path.join(self.path, "data", f"meta-{token}")
+        (meta_rows.withColumn("__bucket", self.bucket_expr())
+         .repartition(n_part, "__bucket")
+         .write.partitionBy("__bucket").mode("overwrite").parquet(meta_dir))
+        meta_files = dict(snap.get("meta_files", {}))
+        for entry in os.listdir(meta_dir):
+            if entry.startswith("__bucket="):
+                b = int(entry.split("=", 1)[1])
+                meta_files[str(b)] = [f"meta-{token}/{entry}"]
+        for b in dirty_buckets:                           # emptied bucket
+            meta_files.setdefault(str(b), [])
+
+        stats = dict(stats or {})
+        schema = stats.pop("__schema", snap["schema"])
+        meta_schema = stats.pop("__meta_schema", snap.get("meta_schema"))
+        stats["merge_files"] = written
+        self._commit({
+            "version": snap["version"] + 1,
+            "files": new_files,
+            "meta_files": meta_files,
+            "committed_epochs": sorted(set(snap["committed_epochs"]) | {epoch}),
+            "schema": schema,
+            "meta_schema": meta_schema,
+            "stats": {**snap.get("stats", {}), str(epoch): stats},
+            "ts": time.time(),
+        })
+        return written
+
+    def merge_delta(self, wide_rows: DataFrame, meta_rows: DataFrame,
+                    dirty_buckets: list[int], epoch: int,
+                    stats: dict | None = None) -> list[str]:
+        """Convenience: write + commit in one call (two-job MoR MERGE)."""
+        written = self.write_delta(wide_rows, dirty_buckets, epoch)
+        return self.commit_delta(written, meta_rows, dirty_buckets, epoch,
+                                 stats)
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None
+             ) -> DataFrame | None:
+        """Reconstruct current rows: wide deltas ⋈ meta content pointers,
+        plus tombstone rows rebuilt from meta (output schema == COW read)."""
+        return self._read_snapshot(spark, self.current_snapshot(), buckets)
+
+    def _read_snapshot(self, spark: SparkSession, snap: dict,
+                       buckets: list[int] | None = None) -> DataFrame | None:
+        sel = snap["files"]
+        msel = snap.get("meta_files", {})
+        if buckets is not None:
+            sel = {str(b): sel.get(str(b), []) for b in buckets}
+            msel = {str(b): msel.get(str(b), []) for b in buckets}
+        files = [f for fl in sel.values() for f in fl]
+        mfiles = [f for fl in msel.values() for f in fl]
+        schema = self._schema_from_json(snap["schema"])
+        if not mfiles:
+            return spark.createDataFrame([], schema) if schema else None
+        meta = (spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, "data", f) for f in mfiles]))
+        mschema = self._schema_from_json(snap.get("meta_schema"))
+        if mschema is not None:
+            empty = spark.createDataFrame([], mschema)
+            meta = meta.unionByName(empty, allowMissingColumns=True)
+            meta = meta.select(*[F.col(c) for c in empty.columns])
+        extras = [c for c in meta.columns if c not in {
+            "url", "warc_ts", "lsn", "content_ts", "content_lsn",
+            "content_fp", "deleted"}]
+        if files:
+            wide = (spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, "data", f)
+                               for f in files]))
+        else:
+            wide = None
+        live_meta = meta.filter(~F.col("deleted"))
+        parts = []
+        if wide is not None:
+            # join on equal-named key columns to avoid ambiguous refs
+            w = wide.select(
+                "url", F.col("warc_ts").alias("content_ts"),
+                F.col("lsn").alias("content_lsn"),
+                "html", "text", "lang", "chunks")
+            cur = (w.join(live_meta.select(
+                "url", "content_ts", "content_lsn", "warc_ts", "lsn",
+                "content_fp", *extras),
+                ["url", "content_ts", "content_lsn"], "inner")
+                .select("url", "warc_ts", "lsn", "html", "text", "lang",
+                        "content_fp", F.lit(False).alias("deleted"),
+                        "chunks", *extras))
+            parts.append(cur)
+        if schema is not None:
+            chunks_type = schema["chunks"].dataType
+        else:
+            chunks_type = parts[0].schema["chunks"].dataType if parts else None
+        tomb = (meta.filter(F.col("deleted"))
+                .select("url", "warc_ts", "lsn",
+                        F.lit(None).cast("binary").alias("html"),
+                        F.lit(None).cast("string").alias("text"),
+                        F.lit(None).cast("string").alias("lang"),
+                        F.lit(None).cast("binary").alias("content_fp"),
+                        F.lit(True).alias("deleted"),
+                        (F.lit(None).cast(chunks_type) if chunks_type is not None
+                         else F.lit(None)).alias("chunks"),
+                        *extras))
+        parts.append(tomb)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if schema is not None:
+            empty = spark.createDataFrame([], schema)
+            out = out.unionByName(empty, allowMissingColumns=True)
+            out = out.select(*[F.col(c) for c in empty.columns])
+        return out
+
+    def read_version(self, spark: SparkSession, version: int
+                     ) -> DataFrame | None:
+        with open(os.path.join(self.path, "snapshots",
+                               f"v{version:08d}.json")) as f:
+            snap = json.load(f)
+        return self._read_snapshot(spark, snap)
+
+    # ----------------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession, target_files_per_bucket: int = 1
+                ) -> int:
+        """Fold a bucket's wide deltas into one file of live content rows
+        (MoR read-amplification bound). Meta is already one file per bucket.
+        Compacted wide rows keep warc_ts/lsn = the CONTENT version keys so
+        meta pointers stay valid."""
+        snap = self.current_snapshot()
+        over = [int(b) for b, fl in snap["files"].items()
+                if len(fl) > target_files_per_bucket]
+        if not over:
+            return 0
+        cur = self._read_snapshot(spark, snap, buckets=over)
+        meta = self.read_meta(spark, buckets=over)
+        live = (cur.filter(~F.col("deleted"))
+                .join(meta.select("url", "content_ts", "content_lsn"),
+                      "url", "inner")
+                .select("url",
+                        F.col("content_ts").alias("warc_ts"),
+                        F.col("content_lsn").alias("lsn"),
+                        "html", "text", "lang", "content_fp", "chunks"))
+        token = f"compact-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, "data", f"delta-{token}")
+        (live.withColumn("__bucket", self.bucket_expr())
+         .repartition(len(over), "__bucket")
+         .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir))
+        new_files = dict(snap["files"])
+        for b in over:
+            new_files[str(b)] = []
+        for entry in os.listdir(out_dir):
+            if entry.startswith("__bucket="):
+                b = entry.split("=", 1)[1]
+                new_files[b] = [f"delta-{token}/{entry}"]
+        self._commit({**snap, "version": snap["version"] + 1,
+                      "files": new_files, "ts": time.time()})
+        return len(over)
 
 
 class AppendOnlyTable:

@@ -115,6 +115,40 @@ def fingerprint_udf(algo: str = "super", **params):
     return _fp
 
 
+CONTENT_SCHEMA = StructType([
+    StructField("fp", BinaryType(), False),
+    StructField("chunks", FP_CHUNK_SCHEMA, False),
+])
+
+
+def content_udf(algo: str = "super", **params):
+    """pandas UDF: binary -> struct(fp: sha3-256(html), chunks: fingerprinted
+    chunk array) — page fingerprint and chunking fused into ONE pass so the
+    ingest engine decodes the wide event column once per epoch instead of
+    twice (separate sha3 then chunk passes each re-scan the source parquet)."""
+    chunker = make_chunker(algo, **params)
+
+    @pandas_udf(CONTENT_SCHEMA)
+    def _content(col: pd.Series) -> pd.DataFrame:
+        fps, chks = [], []
+        for buf in col:
+            if buf is None:
+                fps.append(None)
+                chks.append(None)
+                continue
+            b = bytes(buf)
+            fps.append(hashlib.sha3_256(b).digest())
+            arr = chunker(b)
+            chks.append([
+                {"pos": int(p), "len": int(ln),
+                 "hash": hashlib.sha3_256(b[p:p + ln]).digest()}
+                for p, ln in arr
+            ])
+        return pd.DataFrame({"fp": fps, "chunks": chks})
+
+    return _content
+
+
 @pandas_udf(BinaryType())
 def sha3_256_udf(col: pd.Series) -> pd.Series:
     """SHA3-256 of a binary column (Spark sha2 is SHA-2; reference uses SHA3)."""

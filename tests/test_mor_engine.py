@@ -1,0 +1,141 @@
+"""Merge-on-read lake: same CDC semantics as COW, O(changed bytes) ingest IO.
+
+Every check here runs THROUGH the same oracle as the COW engine tests — the
+MoR lake must be observationally identical on reads while writing only wide
+deltas per epoch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_chunking_spark.datagen import expected_final_state, generate_wal
+from rust_chunking_spark.engine import CdcIngestJob
+from rust_chunking_spark.engine.lake import AppendOnlyTable, MorBucketedLake
+
+from tests.test_cdc_engine import (
+    _assert_matches_oracle,
+    _write_wal,
+)
+
+N_EPOCHS = 6
+EVENTS_PER_EPOCH = 60
+
+
+@pytest.fixture(scope="module")
+def wal():
+    return generate_wal(n_pages=0, n_epochs=N_EPOCHS,
+                        events_per_epoch=EVENTS_PER_EPOCH, seed=7)
+
+
+def _mk_mor_job(spark, tmp, algo="super"):
+    lake = MorBucketedLake(f"{tmp}/lake", n_buckets=8)
+    return CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp}/chunks"),
+                        AppendOnlyTable(f"{tmp}/metrics"), algo=algo)
+
+
+def test_mor_full_replay_matches_oracle(spark, wal, tmp_path):
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    results = job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    assert len(results) == N_EPOCHS
+    _assert_matches_oracle(spark, job.lake, wal)
+    # verdict mix exercised (noop/late/dup/delete all present)
+    assert sum(m.skipped_noop for m in results) > 0
+    assert sum(m.skipped_late for m in results) > 0
+    assert sum(m.applied_delete for m in results) > 0
+    # chunk store never duplicates a hash
+    store = job.chunk_store.read(spark)
+    assert store.count() == store.select("chunk_hash").distinct().count() > 0
+
+
+def test_mor_writes_only_content_candidates(spark, wal, tmp_path):
+    """The point of MoR: the per-epoch wide delta holds only the content
+    candidates (inserts + newer updates, including the ones that turn out
+    no-op after the fused fingerprint pass) — never the carry set. No-op
+    rows ride along unreferenced and are dropped by compaction."""
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    results = job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    for m in results[1:]:
+        stats = job.lake.current_snapshot()["stats"][str(m.epoch)]
+        files = stats["merge_files"]
+        written = job.lake.read_files(spark, files)
+        n_written = written.count() if written is not None else 0
+        candidates = m.applied_insert + m.applied_update + m.skipped_noop
+        assert n_written == candidates
+        assert n_written < m.events_seen  # never the whole batch, post-LWW
+
+
+def test_mor_replay_idempotent_and_resumable(spark, wal, tmp_path):
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    job.run(str(tmp_path / "wal"), [0, 1, 2])
+    job2 = _mk_mor_job(spark, str(tmp_path))
+    results = job2.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    assert [m.epoch for m in results] == [3, 4, 5]
+    v1 = job2.lake.current_snapshot()["version"]
+    assert job2.run(str(tmp_path / "wal"), list(range(N_EPOCHS))) == []
+    assert job2.lake.current_snapshot()["version"] == v1
+    _assert_matches_oracle(spark, job2.lake, wal)
+
+
+def test_mor_schema_evolution_additive(spark, wal, tmp_path):
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    df = job.lake.read(spark)
+    assert "fetch_status" in df.columns
+    live = df.filter(~F.col("deleted"))
+    assert live.filter(F.col("fetch_status").isNull()).count() > 0
+    assert live.filter(F.col("fetch_status").isNotNull()).count() > 0
+
+
+def test_mor_compaction_preserves_state(spark, wal, tmp_path):
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    snap = job.lake.current_snapshot()
+    assert any(len(fl) > 1 for fl in snap["files"].values())  # real deltas
+    n = job.lake.compact(spark)
+    assert n > 0
+    snap2 = job.lake.current_snapshot()
+    assert all(len(fl) <= 1 for fl in snap2["files"].values())
+    _assert_matches_oracle(spark, job.lake, wal)
+
+
+def test_mor_matches_cow_final_state(spark, wal, tmp_path):
+    """COW and MoR replays of the same WAL read back identically."""
+    from rust_chunking_spark.engine import BucketedLake
+
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    cow = CdcIngestJob(spark, BucketedLake(f"{tmp_path}/cowlake", n_buckets=8),
+                       AppendOnlyTable(f"{tmp_path}/cowchunks"),
+                       AppendOnlyTable(f"{tmp_path}/cowmetrics"))
+    cow.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    mor = _mk_mor_job(spark, str(tmp_path))
+    mor.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    a = cow.lake.read(spark)
+    b = mor.lake.read(spark)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = [c for c in a.columns if c != "chunks"]
+    a2, b2 = a.select(cols), b.select(cols)
+    assert a2.exceptAll(b2).count() == 0
+    assert b2.exceptAll(a2).count() == 0
+    # chunk stores agree too
+    ca = cow.chunk_store.read(spark).select("chunk_hash")
+    cb = mor.chunk_store.read(spark).select("chunk_hash")
+    assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+
+def test_mor_expire_keeps_live_meta(spark, wal, tmp_path):
+    """expire_snapshots must treat meta directories as live references
+    (regression: the live set was computed from wide files only)."""
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    job = _mk_mor_job(spark, str(tmp_path))
+    job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    before = {r.url: r.lsn for r in
+              job.lake.read(spark).select("url", "lsn").collect()}
+    job.lake.expire_snapshots(keep_last=1)
+    after = {r.url: r.lsn for r in
+             job.lake.read(spark).select("url", "lsn").collect()}
+    assert after == before
