@@ -181,7 +181,12 @@ def kernel_scaling(n: int = SCALE_N) -> dict:
             pool.map(_kernel_task, [6] * procs)
             return procs * 6 * 4 / (time.perf_counter() - t0)
 
-    r_n, r_4n = measure(n), measure(4 * n)
+    # interleaved best-of-2 per level: same host-noise treatment as the
+    # pipeline pairs
+    r_n = r_4n = 0.0
+    for _ in range(2):
+        r_n = max(r_n, measure(n))
+        r_4n = max(r_4n, measure(4 * n))
     return {"procs_n": n, "procs_4n": 4 * n,
             "mb_s_n": round(r_n, 1), "mb_s_4n": round(r_4n, 1),
             "efficiency": round(r_4n / r_n / 4, 3)}
@@ -238,7 +243,11 @@ def main():
                    "--cpus", str(c), "--wal-dir", wal_dir,
                    "--events", str(total)]
             if pin and shutil.which("taskset") and c < CPUS:
-                cmd = ["taskset", "-c", f"0-{c - 1}" if c > 1 else "0"] + cmd
+                # top cpu ids: cpu 0 takes IRQ/housekeeping load, which would
+                # handicap the small-N run and flatter the efficiency number
+                lo, hi = CPUS - c, CPUS - 1
+                cmd = ["taskset", "-c",
+                       f"{lo}-{hi}" if c > 1 else str(hi)] + cmd
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=3600)
             line = [l for l in p.stdout.splitlines()

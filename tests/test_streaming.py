@@ -75,3 +75,28 @@ def test_stream_epoch_split_across_microbatches(spark, wal, tmp_path):
     for url, exp in oracle.items():
         assert rows[url].text == exp["text"]
         assert rows[url].lsn == exp["lsn"]
+
+
+def test_stream_ingest_into_mor_lake(spark, wal, tmp_path):
+    """The streaming front-end is lake-agnostic: same oracle match on MoR."""
+    from rust_chunking_spark.engine.lake import MorBucketedLake
+
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(wal):
+        df = spark.createDataFrame([dict(e) for e in events])
+        df.write.mode("overwrite").parquet(f"{wal_dir}/epoch={ep:06d}")
+
+    lake = MorBucketedLake(str(tmp_path / "lake"), n_buckets=8)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(str(tmp_path / "chunks")),
+                       AppendOnlyTable(str(tmp_path / "metrics")))
+    q = start_stream_ingest(spark, job, wal_dir, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=16)
+    q.awaitTermination(300)
+    assert job.lake.committed_epochs() == set(range(N_EPOCHS))
+    oracle = expected_final_state(wal)
+    rows = {r.url: r for r in
+            lake.read(spark).filter(~F.col("deleted")).collect()}
+    assert set(rows) == set(oracle)
+    for url, exp in oracle.items():
+        assert rows[url].text == exp["text"]
+        assert rows[url].lsn == exp["lsn"]
