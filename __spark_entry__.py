@@ -340,6 +340,52 @@ def _q_langid(spark, sf_dir):
         F.floor(hits * 1000 / tokens).cast("long").alias("en_score_x1000"))
 
 
+def _q_exact_dup_pairs(spark, sf_dir):
+    """Exact-duplicate pairs via content-prefix-hash self-join — the first
+    rung of the dedup ladder (hash-groupBy scales linearly; the join is only
+    within equal-hash groups). Keyed on the first 50 chars (boilerplate /
+    shared-prefix dedup) so the test corpus, which has no full-text dups,
+    still exercises the group-join path with real pairs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
+    a = d.select(F.col("doc_id").alias("a"), "h")
+    b = d.select(F.col("doc_id").alias("b"), "h")
+    return (a.join(b, "h").filter(F.col("a") < F.col("b"))
+            .select("a", "b").orderBy("a", "b"))
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force at test scale;
+    the documented scale path is the LSH-bucketed variant in
+    operators/similarity.py). Fully oracle-checked vs DuckDB's
+    list_cosine_similarity."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dot = F.expr("aggregate(zip_with(a_emb, b_emb, (x, y) ->"
+                 " cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)")
+    norm = lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
+    pairs = (a.join(b, F.col("a") < F.col("b")))
+    sim = dot / (norm("a_emb") * norm("b_emb"))
+    return (pairs.select("a", "b", F.round(sim, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.45)
+            .orderBy("a", "b"))
+
+
+def _q_doc_token_regex(spark, sf_dir):
+    """BPE-ish regex token stats (alnum runs + punctuation counts) — the
+    token-counting building block of a training-data pipeline, with an exact
+    DuckDB oracle (pattern kept ASCII-simple so Java and RE2 agree)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
+        .cast("long").alias("n_alnum_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[.,;:!?]"))
+        .cast("long").alias("n_punct"))
+
+
 def _q_orders_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.rollup("o_orderstatus", "o_orderpriority")
@@ -449,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customers": _q_semi_join_customers,
         "monthly_order_volume": _q_monthly_order_volume,
         "string_funcs": _q_string_funcs,
+        "exact_dup_pairs": _q_exact_dup_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "doc_token_regex": _q_doc_token_regex,
         "minhash_dup_pairs": _q_minhash_dups,
         "simhash_docs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
@@ -602,6 +651,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, upper(substring(text, 1, 10)) AS head_upper,
                    length(trim(text)) AS trim_len,
                    reverse(substring(text, 1, 8)) AS head_rev
+            FROM documents""",
+        "exact_dup_pairs": """
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM (SELECT doc_id, md5(substring(text, 1, 50)) AS h
+                  FROM documents) l
+            JOIN (SELECT doc_id, md5(substring(text, 1, 50)) AS h
+                  FROM documents) r USING (h)
+            WHERE l.doc_id < r.doc_id ORDER BY a, b""",
+        "embedding_near_dups": """
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.embedding, r.embedding), 4)
+                     AS cos_sim
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4)
+                  >= 0.45
+            ORDER BY a, b""",
+        "doc_token_regex": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                     AS n_alnum_tokens,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                     AS n_punct
             FROM documents""",
     })
     return sql
