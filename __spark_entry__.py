@@ -89,6 +89,7 @@ def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_chunking_spark.functions.chunking import fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     udf = fingerprint_udf("super", **CHUNK_PARAMS["super"])
     chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
               .select(F.explode("chunks").alias("c"))
@@ -107,6 +108,7 @@ def _chunk_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_chunking_spark.functions.chunking import chunk_udf
 
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     udf = chunk_udf("super", **CHUNK_PARAMS["super"])
     chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
               .select("doc_id", F.explode("chunks").alias("c")))
@@ -355,18 +357,22 @@ def _q_exact_dup_pairs(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute force at test scale;
-    the documented scale path is the LSH-bucketed variant in
-    operators/similarity.py). Fully oracle-checked vs DuckDB's
-    list_cosine_similarity."""
+    """Embedding-cosine near-dup pairs for a bounded PROBE SET (the first
+    128 vectors) against the whole table — probe x corpus is the linear,
+    broadcastable shape (an all-pairs crossJoin is O(n^2) and already took
+    a minute at sf0.1; the documented all-corpus scale path is the
+    LSH-bucketed variant in operators/similarity.py). Fully oracle-checked
+    vs DuckDB's list_cosine_similarity."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 128)
     dot = F.expr("aggregate(zip_with(a_emb, b_emb, (x, y) ->"
                  " cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)")
     norm = lambda c: F.sqrt(F.expr(
         f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
+    a = probes.select(F.col("vec_id").alias("a"),
+                      F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
-    pairs = (a.join(b, F.col("a") < F.col("b")))
+    pairs = b.join(F.broadcast(a), F.col("a") < F.col("b"))
     sim = dot / (norm("a_emb") * norm("b_emb"))
     return (pairs.select("a", "b", F.round(sim, 4).alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.45)
@@ -437,6 +443,7 @@ def _q_chunk_stats(spark, sf_dir):
     from rust_chunking_spark.functions.chunking import chunk_udf
 
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     parts = []
     for algo, params in CHUNK_PARAMS.items():
         udf = chunk_udf(algo, **params)
@@ -664,7 +671,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.embedding, r.embedding), 4)
                      AS cos_sim
             FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-            WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4)
+            WHERE l.vec_id < 128
+              AND round(list_cosine_similarity(l.embedding, r.embedding), 4)
                   >= 0.45
             ORDER BY a, b""",
         "doc_token_regex": """
