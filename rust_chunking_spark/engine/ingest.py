@@ -30,6 +30,18 @@ for the write and the fallback when a batch's winner set exceeds
 ``broadcast_limit`` (then Spark's SMJ + AQE skew split take over). Everything
 else is map-side or skinny. The chunking UDF is the dominant compute and runs
 only on truly-changed rows.
+
+Two sink modes, selected by the lake class:
+
+- **COW** (``BucketedLake``): the flow above — dirty buckets fully rewritten,
+  decisions from a column-pruned wide read, sha3 + chunking as two passes.
+- **MoR** (``MorBucketedLake``): decisions read a SKINNY meta table; content
+  candidates (inserts + fingerprint-comparison rows) are chunked AND
+  fingerprinted in ONE fused UDF pass written straight to uncommitted delta
+  files; the noop/update split is decided from the staged files' skinny
+  columns; an atomic commit lands delta + meta together. Per-epoch wide IO is
+  O(changed bytes) and the wide event column is decoded once, not twice —
+  measured ~40% faster and the shape that scales (see BENCH.md).
 """
 
 from __future__ import annotations

@@ -1,0 +1,83 @@
+"""spark-submit entry point for the CDC ingest engine.
+
+The north-star deployment shape (BASELINE.json): ship via
+``spark-submit --py-files rust_chunking_spark.zip -m rust_chunking_spark.ingest_cli``
+against a WAL directory of epoch-numbered parquet segments, at N or 4N
+executors. Locally:
+
+  python -m rust_chunking_spark.ingest_cli --wal WAL_DIR --lake LAKE_DIR \\
+      [--mode mor|cow] [--algo super] [--buckets 32] [--epochs 0 1 2] \\
+      [--stream] [--salt-lww] [--cpus 8]
+
+Batch mode replays the requested epochs (default: every epoch on disk)
+through the exactly-once merge; already-committed epochs are skipped
+(resume-from-checkpoint). --stream drives the same engine through
+Structured Streaming's foreachBatch with availableNow semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--wal", required=True, help="WAL dir (epoch=NNNNNN/ segments)")
+    ap.add_argument("--lake", required=True, help="lake root directory")
+    ap.add_argument("--mode", choices=("mor", "cow"), default="mor")
+    ap.add_argument("--algo", default="super",
+                    choices=["super", "ae", "ram", "rabin", "seq", "ultra", "leap"])
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--epochs", type=int, nargs="*", default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="drive through Structured Streaming (availableNow)")
+    ap.add_argument("--salt-lww", action="store_true")
+    ap.add_argument("--cpus", type=int, default=0,
+                    help="local[N] when no master is configured (0 = all)")
+    args = ap.parse_args(argv)
+
+    from .engine import BucketedLake, CdcIngestJob, MorBucketedLake
+    from .engine.lake import AppendOnlyTable
+    from .session import get_spark
+    from .sources.wal import WalSource
+
+    spark = get_spark(app_name="cdc-ingest", cpus=args.cpus or None)
+    lake_cls = MorBucketedLake if args.mode == "mor" else BucketedLake
+    lake = lake_cls(f"{args.lake}/lake", n_buckets=args.buckets)
+    job = CdcIngestJob(spark, lake,
+                       AppendOnlyTable(f"{args.lake}/chunks"),
+                       AppendOnlyTable(f"{args.lake}/metrics"),
+                       algo=args.algo, salt_lww=args.salt_lww)
+    try:
+        if args.stream:
+            from .streaming import start_stream_ingest
+
+            q = start_stream_ingest(spark, job, args.wal,
+                                    f"{args.lake}/checkpoint")
+            q.awaitTermination()
+            results = []
+        else:
+            epochs = (args.epochs if args.epochs
+                      else WalSource(args.wal).epochs())
+            results = job.run(args.wal, epochs)
+        for m in results:
+            print(json.dumps({
+                "epoch": m.epoch, "seen": m.events_seen,
+                "insert": m.applied_insert, "update": m.applied_update,
+                "delete": m.applied_delete, "noop": m.skipped_noop,
+                "late": m.skipped_late, "dup": m.skipped_duplicate,
+                "chunks_new": m.chunks_new, "dedup_ratio": m.dedup_ratio,
+            }))
+        print(json.dumps({
+            "committed_epochs": sorted(lake.committed_epochs()),
+            "mode": args.mode,
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
