@@ -596,10 +596,24 @@ class CdcIngestJob:
         # in the store from prior epochs)
         chunked = (written.select("url", "chunks")
                    .join(self._bcast(iu_urls, n_winners), "url", "left_semi"))
-        # one aggregation pass: per-hash (multiplicity, len) + seen-before flag
+        # one aggregation pass: per-hash (multiplicity, len)
         uniq = (chunked.select(F.explode("chunks").alias("c"))
                 .groupBy(F.col("c.hash").alias("chunk_hash"))
                 .agg(F.count("*").alias("mult"), F.min("c.len").alias("len")))
+        if not self.collect_metrics:
+            # steady-state: append the EPOCH-unique delta without touching
+            # the existing store. Anti-joining every epoch against the full
+            # store is O(store) per batch — at 10^10 chunks that scan, not
+            # the epoch's work, would dominate. Global uniqueness moves to
+            # the read side (chunk_store_current) and compaction, the same
+            # MoR trade the lake itself makes.
+            self.chunk_store.append(
+                uniq.select("chunk_hash", "len")
+                    .withColumn("first_seen_epoch", F.lit(epoch)),
+                epoch)
+            return 0, 0, 0, 0
+        # observability mode: exact dedup stats + a globally-unique store
+        # (pays the O(store) anti-join; intended for tests / small batches)
         store = self.chunk_store.read(self.spark)
         if store is not None:
             uniq = uniq.join(store.select("chunk_hash")
@@ -608,23 +622,35 @@ class CdcIngestJob:
         else:
             uniq = uniq.withColumn("__seen", F.lit(None).cast("boolean"))
         is_new = F.col("__seen").isNull()
-        if self.collect_metrics:
-            uniq = uniq.cache()
-            agg = uniq.agg(
-                F.coalesce(F.sum("mult"), F.lit(0)).alias("total_n"),
-                F.coalesce(F.sum(F.col("mult") * F.col("len")), F.lit(0)).alias("total_b"),
-                F.coalesce(F.sum(F.when(is_new, 1).otherwise(0)), F.lit(0)).alias("new_n"),
-                F.coalesce(F.sum(F.when(is_new, F.col("len")).otherwise(0)), F.lit(0)).alias("new_b"),
-            ).collect()[0]
+        uniq = uniq.cache()
+        agg = uniq.agg(
+            F.coalesce(F.sum("mult"), F.lit(0)).alias("total_n"),
+            F.coalesce(F.sum(F.col("mult") * F.col("len")), F.lit(0)).alias("total_b"),
+            F.coalesce(F.sum(F.when(is_new, 1).otherwise(0)), F.lit(0)).alias("new_n"),
+            F.coalesce(F.sum(F.when(is_new, F.col("len")).otherwise(0)), F.lit(0)).alias("new_b"),
+        ).collect()[0]
         new_chunks = (uniq.filter(is_new)
                       .select("chunk_hash", "len")
                       .withColumn("first_seen_epoch", F.lit(epoch)))
         self.chunk_store.append(new_chunks, epoch)
-        if self.collect_metrics:
-            uniq.unpersist()
-            acc.add(int(agg.total_n))
-            return int(agg.total_n), int(agg.new_n), int(agg.total_b), int(agg.new_b)
-        return 0, 0, 0, 0
+        uniq.unpersist()
+        acc.add(int(agg.total_n))
+        return int(agg.total_n), int(agg.new_n), int(agg.total_b), int(agg.new_b)
+
+    def chunk_store_current(self, spark: SparkSession | None = None
+                            ) -> DataFrame | None:
+        """Deduplicated view of the chunk store (one row per hash, earliest
+        first_seen_epoch). In steady-state mode epochs append their own
+        deltas, so the same hash may appear in several epochs' files — this
+        is the read that collapses them (and what a compaction would
+        materialize)."""
+        spark = spark or self.spark
+        raw = self.chunk_store.read(spark)
+        if raw is None:
+            return None
+        return (raw.groupBy("chunk_hash")
+                .agg(F.min("len").alias("len"),
+                     F.min("first_seen_epoch").alias("first_seen_epoch")))
 
     # ---------------------------------------------------------------- metrics
 

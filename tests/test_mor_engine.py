@@ -139,3 +139,25 @@ def test_mor_expire_keeps_live_meta(spark, wal, tmp_path):
     after = {r.url: r.lsn for r in
              job.lake.read(spark).select("url", "lsn").collect()}
     assert after == before
+
+
+def test_steady_state_chunk_store_delta_appends(spark, wal, tmp_path):
+    """collect_metrics=False appends per-epoch chunk deltas WITHOUT scanning
+    the existing store (the O(store)-per-epoch anti-join does not scale);
+    chunk_store_current() is the deduplicated read that recovers global
+    uniqueness and still covers all live content."""
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    lake = MorBucketedLake(f"{tmp_path}/lake", n_buckets=8)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp_path}/chunks"),
+                       AppendOnlyTable(f"{tmp_path}/metrics"),
+                       collect_metrics=False)
+    job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    job.flush_metrics()
+    cur = job.chunk_store_current()
+    assert cur.count() == cur.select("chunk_hash").distinct().count() > 0
+    live = lake.read(spark).filter(~F.col("deleted"))
+    live_hashes = (live.select(F.explode("chunks").alias("c"))
+                   .select(F.col("c.hash").alias("chunk_hash")).distinct())
+    assert live_hashes.join(cur, "chunk_hash", "left_anti").count() == 0
+    # first_seen_epoch is the EARLIEST sighting even across delta re-appends
+    assert cur.agg(F.min("first_seen_epoch")).collect()[0][0] == 0
