@@ -20,7 +20,9 @@ are never shuffled — all decisions happen on skinny metadata:
          carry rows     = cur wide anti-join applied urls (pass-through)
     -> chunk ONLY insert/update rows (round-robin repartition balances the
        pandas-UDF compute regardless of domain/url skew)
-    -> chunk store: left_anti on hash -> append new chunks
+    -> chunk store: observability mode anti-joins vs the store (exact dedup
+       stats, globally-unique table); steady-state appends epoch deltas and
+       dedups at read (chunk_store_current) — O(epoch), never O(store)
     -> metrics + per-bucket lineage appended
     -> lake.overwrite_buckets(...)  [atomic snapshot flip = commit marker
        (epoch); replaying a committed epoch is a no-op => exactly-once]
