@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 AVG_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "2500"))
 # N for the N-vs-4N scaling pair. Default 1 (1 vs 4 cores): measured STREAM
@@ -97,7 +97,7 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int,
             results.extend(r)
             print(f"EPOCH {ep}: {time.perf_counter()-te:.1f}s "
                   f"phases={job.last_phase_timings}", file=sys.stderr)
-        job.flush_metrics()
+        job.flush()
         dt = time.perf_counter() - t0
         seen = sum(m.events_seen for m in results) or total_events
         return {"cpus": cpus, "seconds": dt, "events": seen,
@@ -209,10 +209,12 @@ def main():
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--wal-dir", default="")
     ap.add_argument("--events", type=int, default=0)
+    ap.add_argument("--lake", default=None, choices=["cow", "mor"])
     args = ap.parse_args()
 
     if args.replay:
-        r = replay_bench(args.cpus, args.wal_dir, args.events)
+        r = replay_bench(args.cpus, args.wal_dir, args.events,
+                         lake_mode=args.lake)
         print("REPLAY_JSON:" + json.dumps(r))
         return
 
@@ -233,7 +235,8 @@ def main():
             with open(marker, "w") as f:
                 f.write(str(total))
 
-        def replay_at(c: int, pin: bool = True) -> dict:
+        def replay_at(c: int, pin: bool = True, lake: str | None = None
+                      ) -> dict:
             # taskset pins the WHOLE process tree (JVM GC/compression threads,
             # python UDF workers) to exactly c cores. local[c] alone only
             # limits task slots — JVM service threads would still fan out over
@@ -242,6 +245,8 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__), "--replay",
                    "--cpus", str(c), "--wal-dir", wal_dir,
                    "--events", str(total)]
+            if lake:
+                cmd += ["--lake", lake]
             if pin and shutil.which("taskset") and c < CPUS:
                 # top cpu ids: cpu 0 takes IRQ/housekeeping load, which would
                 # handicap the small-N run and flatter the efficiency number
@@ -265,7 +270,7 @@ def main():
         # throughput per level is the least-interference estimate of that
         # level's true capability; interleaving stops a slow hour from
         # landing on only one side.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         scal = {}
         samples: dict[int, list] = {n: [], n4: []}
         order = [n, n4] * repeats + ([CPUS] if CPUS not in (n, n4) else [])
@@ -276,6 +281,16 @@ def main():
             if c not in scal or r["events_per_sec"] > scal[c]["events_per_sec"]:
                 scal[c] = r
         eff = (scal[n4]["events_per_sec"] / scal[n]["events_per_sec"]) / (n4 / n)
+        # sink-mode comparison at the 4N level (same WAL, same pinning): MoR
+        # is the default bench mode; one COW run records the delta between
+        # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO.
+        other = "cow" if scal[n4].get("lake", "mor") == "mor" else "mor"
+        cmp_run = replay_at(n4, lake=other)
+        lake_compare = {
+            scal[n4].get("lake", "mor") + f"_{n4}c":
+                round(scal[n4]["events_per_sec"], 1),
+            other + f"_{n4}c": round(cmp_run["events_per_sec"], 1),
+        }
         result = {
             "metric": "change_events_per_sec",
             "value": round(scal[CPUS]["events_per_sec"], 1),
@@ -296,6 +311,7 @@ def main():
                 "cores_full": CPUS,
             },
             "kernel_scaling": kscale,
+            "lake_compare": lake_compare,
             "replay_events": total,
             "lake_mode": scal[CPUS].get("lake", "cow"),
             "kernels_mb_s": kernels,

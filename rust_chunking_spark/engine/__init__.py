@@ -1,2 +1,3 @@
-from .lake import BucketedLake, MorBucketedLake  # noqa: F401
+from .lake import (AppendOnlyTable, BucketedLake, ChunkStore,  # noqa: F401
+                   MorBucketedLake)
 from .ingest import CdcIngestJob, IngestMetrics  # noqa: F401

@@ -50,7 +50,8 @@ from __future__ import annotations
 
 import dataclasses
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from ..functions.chunking import (FP_CHUNK_SCHEMA, content_udf,
                                   fingerprint_udf, sha3_256_udf)
@@ -85,7 +86,7 @@ class CdcIngestJob:
                  chunk_store: AppendOnlyTable, metrics: AppendOnlyTable,
                  algo: str = "super", chunk_params: dict | None = None,
                  salt_lww: bool = False, collect_metrics: bool = True,
-                 broadcast_limit: int = 2_000_000):
+                 broadcast_limit: int = 2_000_000, records=None):
         self.spark = spark
         self.lake = lake
         self.chunk_store = chunk_store
@@ -95,8 +96,15 @@ class CdcIngestJob:
         self.salt_lww = salt_lww
         self.collect_metrics = collect_metrics
         self.broadcast_limit = broadcast_limit
+        #: SuperCDC seed record map (gear hash -> next-chunk length) for the
+        #: reference's cross-file record reuse (supercdc.rs:49-59): a plain
+        #: dict or an ``sc.broadcast`` handle, threaded into every chunking
+        #: UDF this job builds; each row chunkers a FRESH COPY of the map
+        #: (Chunker::with_records semantics — see functions/chunking.py).
+        self.records = records
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
         self._pending_lineage: list = []
+        self._pending_chunks: list[tuple[int, list[str]]] = []
         #: per-phase wall seconds of the most recent apply_epoch (observability)
         self.last_phase_timings: dict[str, float] = {}
 
@@ -127,7 +135,11 @@ class CdcIngestJob:
             return events.withColumn(
                 "__uid", F.xxhash64(F.col("_metadata.file_path"),
                                     F.col("_metadata.row_index")))
-        except Exception:
+        except AnalysisException:
+            # ONLY the no-_metadata analysis error falls through (local
+            # relations in tests). Anything else — a misconfigured source, a
+            # typo'd column — must fail loudly rather than silently degrade
+            # to a re-scan-unstable uid (the bug commit a326dff fixed).
             return events.withColumn("__uid",
                                      F.monotonically_increasing_id())
 
@@ -282,7 +294,8 @@ class CdcIngestJob:
         cand_urls = (pre.filter(F.col("pre_decision")
                                 .isin("insert", "content_check"))
                      .select("url"))
-        c_udf = content_udf(self.algo, **self.chunk_params)
+        c_udf = content_udf(self.algo, records=self.records,
+                            **self.chunk_params)
         cand_rows = (latest
                      .join(self._bcast(cand_urls, n_winners), "url",
                            "left_semi")
@@ -304,20 +317,46 @@ class CdcIngestJob:
             F.when(F.col("pre_decision") == "content_check",
                    F.when(F.col("ev_fp") == F.col("cur_fp"), F.lit("noop"))
                    .otherwise(F.lit("update")))
-            .otherwise(F.col("pre_decision"))).cache()
-        lineage_rows = self._collect_lineage(decided, epoch, m)
-        _mark("decide_collect")
+            .otherwise(F.col("pre_decision")))
+        obs = None
+        if self.collect_metrics or not dirty:
+            decided = decided.cache()
+            lineage_rows = self._collect_lineage(decided, epoch, m)
+            _mark("decide_collect")
+        else:
+            # steady-state: no dedicated lineage job — a CollectMetrics
+            # (observe) node counts per-(bucket, decision) rows while the
+            # meta write below materializes the plan. One fewer driver
+            # action per epoch (the Amdahl term of the scaling rule). The
+            # observe sits BELOW the cache, so even though the meta
+            # assembly consumes `decided` twice, each partition is
+            # instrumented exactly once (at cache materialization).
+            obs = Observation()
+            decided = decided.observe(
+                obs, *self._lineage_obs_exprs(dirty)).cache()
 
         meta_rows = self._assemble_mor_meta(decided, cur_meta_raw, extras,
                                             n_winners)
         iu_urls = (decided.filter(F.col("decision").isin("insert", "update"))
                    .select("url"))
-        self._append_metrics(lineage_rows, epoch)
-        _mark("metrics_write")
-        stats = {"__schema": self._mor_read_schema(cand_rows, meta_rows,
-                                                   extras),
-                 "__meta_schema": meta_rows.schema.json(),
-                 **dataclasses.asdict(m)}
+        if obs is None:
+            self._append_metrics(lineage_rows, epoch)
+            _mark("metrics_write")
+            stats = {"__schema": self._mor_read_schema(cand_rows, meta_rows,
+                                                       extras),
+                     "__meta_schema": meta_rows.schema.json(),
+                     **dataclasses.asdict(m)}
+        else:
+            def stats():
+                # evaluated by commit_delta AFTER the meta write (the action
+                # that fires the observation) and BEFORE the snapshot flip,
+                # so verdict counts still land in the committed stats
+                self._append_metrics(
+                    self._lineage_from_obs(obs, dirty, epoch, m), epoch)
+                return {"__schema": self._mor_read_schema(
+                            cand_rows, meta_rows, extras),
+                        "__meta_schema": meta_rows.schema.json(),
+                        **dataclasses.asdict(m)}
         self.lake.commit_delta(written, meta_rows, dirty, epoch, stats)
         _mark("merge_write")
         pre.unpersist()
@@ -370,6 +409,38 @@ class CdcIngestJob:
         m.skipped_late = verdicts.get("skip_late", 0)
         m.skipped_duplicate = verdicts.get("skip_duplicate", 0)
         return lineage_rows
+
+    DECISIONS = ("insert", "update", "delete", "delete_noexist", "noop",
+                 "skip_late", "skip_duplicate")
+
+    def _lineage_obs_exprs(self, dirty: list[int]) -> list:
+        """One array-of-counts aggregate per decision class, indexed by the
+        dirty-bucket list — the observe-compatible encoding of the
+        per-(bucket, decision) lineage groupBy."""
+        b = self.lake.bucket_expr()
+        return [F.array(*[F.sum(F.when((F.col("decision") == d)
+                                       & (b == bb), 1).otherwise(0))
+                          for bb in dirty]).alias(d)
+                for d in self.DECISIONS]
+
+    def _lineage_from_obs(self, obs: Observation, dirty: list[int],
+                          epoch: int, m: IngestMetrics) -> list:
+        """Decode the observation into lineage rows + verdict counts on m."""
+        vals = obs.get   # available: the meta write already ran
+        rows = []
+        totals: dict[str, int] = {}
+        for d in self.DECISIONS:
+            arr = vals[d]
+            totals[d] = int(sum(c or 0 for c in arr))
+            rows.extend((int(bb), d, int(c), epoch)
+                        for bb, c in zip(dirty, arr) if c)
+        m.applied_insert = totals["insert"]
+        m.applied_update = totals["update"]
+        m.applied_delete = totals["delete"] + totals["delete_noexist"]
+        m.skipped_noop = totals["noop"]
+        m.skipped_late = totals["skip_late"]
+        m.skipped_duplicate = totals["skip_duplicate"]
+        return rows
 
     @staticmethod
     def _decision_expr():
@@ -431,7 +502,8 @@ class CdcIngestJob:
         iu = (decided.filter(F.col("decision").isin("insert", "update"))
               .select("url", "ev_fp"))
         content = latest.join(self._bcast(iu, n_winners), "url", "inner")
-        fp_udf = fingerprint_udf(self.algo, **self.chunk_params)
+        fp_udf = fingerprint_udf(self.algo, records=self.records,
+                                 **self.chunk_params)
         content_rows = content.select(
             "url", "warc_ts", "lsn", "html", "text", "lang",
             F.col("ev_fp").alias("content_fp"), F.lit(False).alias("deleted"),
@@ -586,6 +658,18 @@ class CdcIngestJob:
         acc = self.rows_chunked_acc
         if epoch in self.chunk_store.committed_epochs():
             return 0, 0, 0, 0
+        if not self.collect_metrics:
+            # steady-state: ZERO per-epoch chunk-store work — buffer the
+            # epoch's merge-file list and fold every pending epoch into ONE
+            # append at flush(). Anti-joining the full store per epoch is
+            # O(store); even an epoch-delta append is a driver action on the
+            # hot path. Global uniqueness moves to the read side
+            # (chunk_store_current) and ChunkStore compaction — the same
+            # MoR trade the lake itself makes. Crash before flush() is
+            # repaired by run()'s sweep (lake-committed epochs missing from
+            # the store re-derive their delta from snapshot merge_files).
+            self._pending_chunks.append((epoch, list(merge_files)))
+            return 0, 0, 0, 0
         written = self.lake.read_files(self.spark, merge_files)
         if written is None:
             self.chunk_store.append(
@@ -602,18 +686,6 @@ class CdcIngestJob:
         uniq = (chunked.select(F.explode("chunks").alias("c"))
                 .groupBy(F.col("c.hash").alias("chunk_hash"))
                 .agg(F.count("*").alias("mult"), F.min("c.len").alias("len")))
-        if not self.collect_metrics:
-            # steady-state: append the EPOCH-unique delta without touching
-            # the existing store. Anti-joining every epoch against the full
-            # store is O(store) per batch — at 10^10 chunks that scan, not
-            # the epoch's work, would dominate. Global uniqueness moves to
-            # the read side (chunk_store_current) and compaction, the same
-            # MoR trade the lake itself makes.
-            self.chunk_store.append(
-                uniq.select("chunk_hash", "len")
-                    .withColumn("first_seen_epoch", F.lit(epoch)),
-                epoch)
-            return 0, 0, 0, 0
         # observability mode: exact dedup stats + a globally-unique store
         # (pays the O(store) anti-join; intended for tests / small batches)
         store = self.chunk_store.read(self.spark)
@@ -634,7 +706,7 @@ class CdcIngestJob:
         new_chunks = (uniq.filter(is_new)
                       .select("chunk_hash", "len")
                       .withColumn("first_seen_epoch", F.lit(epoch)))
-        self.chunk_store.append(new_chunks, epoch)
+        self.chunk_store.append(new_chunks, epoch, props={"deduped": True})
         uniq.unpersist()
         acc.add(int(agg.total_n))
         return int(agg.total_n), int(agg.new_n), int(agg.total_b), int(agg.new_b)
@@ -681,13 +753,68 @@ class CdcIngestJob:
                     epoch)
         self._pending_lineage = []
 
+    def flush_chunk_store(self) -> None:
+        """Fold every pending epoch's chunk delta into ONE append (ONE Spark
+        job): union the epochs' merge files tagged with their epoch, explode,
+        and take per-hash (min len, min first_seen_epoch). Duplicates vs
+        PRIOR flushes are allowed (steady-state store contract, recorded as
+        deduped=false in the store manifest); chunk_store_current collapses
+        them with the same min() rule, so first_seen_epoch stays exact."""
+        committed = self.chunk_store.committed_epochs()
+        pending = [(ep, files) for ep, files in self._pending_chunks
+                   if ep not in committed]
+        self._pending_chunks = []
+        if not pending:
+            return
+        parts = []
+        for ep, files in pending:
+            df = self.lake.read_files(self.spark, files)
+            if df is not None:
+                parts.append(
+                    df.select(F.explode("chunks").alias("c"))
+                      .select(F.col("c.hash").alias("chunk_hash"),
+                              F.col("c.len").alias("len"),
+                              F.lit(ep).alias("first_seen_epoch")))
+        epochs = [ep for ep, _ in pending]
+        if not parts:
+            self.chunk_store.append(
+                self.spark.createDataFrame(
+                    [], "chunk_hash binary, len long, first_seen_epoch long"),
+                epochs, props={"deduped": False})
+            return
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = (delta.groupBy("chunk_hash")
+                 .agg(F.min("len").alias("len"),
+                      F.min("first_seen_epoch").alias("first_seen_epoch")))
+        self.chunk_store.append(delta, epochs, props={"deduped": False})
+
+    def flush(self) -> None:
+        """End-of-replay flush for steady-state mode: chunk-store delta +
+        buffered lineage, each one write."""
+        self.flush_chunk_store()
+        self.flush_metrics()
+
     # ------------------------------------------------------------------- run
 
     def run(self, wal_dir: str, epochs: list[int]) -> list[IngestMetrics]:
         """Replay epochs from a WAL directory (one parquet dir per epoch);
-        already-committed epochs are skipped (resume-from-checkpoint)."""
+        already-committed epochs are skipped (resume-from-checkpoint).
+
+        Before replaying, any lake-committed epoch missing from the chunk
+        store (a crash between the lake commit and the store append/flush,
+        in either mode) is repaired from the snapshot's recorded merge
+        files — not just epochs named in this call's list. Epochs buffered
+        for this job's own deferred flush are excluded (they are not lost,
+        just pending)."""
         import os
 
+        pending = {ep for ep, _ in self._pending_chunks}
+        missing = (self.lake.committed_epochs()
+                   - self.chunk_store.committed_epochs() - pending)
+        for ep in sorted(missing):
+            self._repair_chunk_store(ep)
         out = []
         for ep in epochs:
             seg = os.path.join(wal_dir, f"epoch={ep:06d}")
@@ -695,8 +822,6 @@ class CdcIngestJob:
             r = self.apply_epoch(events, ep)
             if r is not None:
                 out.append(r)
-            else:
-                self._repair_chunk_store(ep)
         return out
 
     def _repair_chunk_store(self, epoch: int) -> None:
@@ -724,4 +849,5 @@ class CdcIngestJob:
             uniq = uniq.join(store.select("chunk_hash"), "chunk_hash",
                              "left_anti")
         self.chunk_store.append(
-            uniq.withColumn("first_seen_epoch", F.lit(epoch)), epoch)
+            uniq.withColumn("first_seen_epoch", F.lit(epoch)), epoch,
+            props={"deduped": True})

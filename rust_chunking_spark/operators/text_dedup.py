@@ -148,12 +148,16 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     rows = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes, shingle_k)
-    # round-robin repartition before the signature UDF: a small parquet input
-    # arrives in a handful of splits, which would serialize the dominant
-    # compute (signatures) onto a couple of cores regardless of cluster size
+    # round-robin repartition before the signature UDF — but ONLY when the
+    # input arrives in fewer splits than cores (a small parquet file would
+    # serialize the dominant signature compute onto a couple of tasks). At
+    # scale the input already has hundreds of splits and the text shuffle
+    # would be pure waste.
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    src = src.repartition(spark.sparkContext.defaultParallelism)
+    p = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
     sigs = src.select("id", sig_udf(F.col("__t")).alias("sig"))
     sigs = sigs.cache()
 

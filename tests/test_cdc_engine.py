@@ -151,3 +151,70 @@ def test_lww_uid_stable_under_recomputation(spark, tmp_path):
     b = sorted(r[0] for r in ev.select("__uid").collect())
     assert a == b
     assert len(set(a)) == len(rows)   # unique per event
+
+
+def test_kafka_style_source_prepopulated_uid(spark, wal, tmp_path):
+    """The documented non-file-source contract (ingest.py:_with_uid): a
+    source that pre-populates __uid — as a Kafka reader must, from
+    (partition, offset) — is used AS-IS, and no winner rows are dropped by
+    the LWW join-back even though the source has no _metadata columns.
+    Verifies the contract VERDICT r2 #6 flagged as documented-but-untested."""
+    job = _mk_job(spark, str(tmp_path))
+    for ep, events in enumerate(wal):
+        # kafka-like identity: (partition, offset) -> stable 64-bit uid,
+        # assigned BEFORE the engine sees the rows
+        rows = [{**e, "__uid": (i % 4) * 1_000_000 + i}
+                for i, e in enumerate(events)]
+        df = spark.createDataFrame(rows)
+        m = job.apply_epoch(df, ep)
+        assert m is not None
+        assert m.events_seen == len(events)
+    _assert_matches_oracle(spark, job.lake, wal)
+
+
+def test_engine_supercdc_record_seeding(spark, tmp_path):
+    """records= threads a SuperCDC seed map through the ENGINE's fused
+    content UDF: every stored row's chunk boundaries equal the local seeded
+    kernel (fresh copy per row — Chunker::with_records semantics,
+    supercdc.rs:49-59), and at least one row differs from unseeded chunking
+    (the seed map demonstrably flowed into ingest)."""
+    import datetime
+
+    import numpy as np
+
+    from rust_chunking_spark.engine import MorBucketedLake
+    from rust_chunking_spark.functions.chunking import extract_super_records
+    from rust_chunking_spark.kernels import vectorized as V
+
+    rng = np.random.default_rng(23)
+    seed_docs = [rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
+                 for _ in range(3)]
+    htmls = [seed_docs[0],
+             seed_docs[1][:15000] + seed_docs[2][:5000],
+             rng.integers(0, 4, 30000, dtype=np.uint8).tobytes()]
+    params = dict(min_size=2048, avg_size=4096, max_size=32768)
+    seed = extract_super_records(seed_docs, **params)
+    assert seed
+
+    lake = MorBucketedLake(f"{tmp_path}/lake", n_buckets=4)
+    job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp_path}/chunks"),
+                       AppendOnlyTable(f"{tmp_path}/metrics"),
+                       algo="super", chunk_params=params, records=seed)
+    events = [{"url": f"https://ex.com/{i}", "op": "I", "lsn": i + 1,
+               "warc_ts": datetime.datetime(2026, 1, 1, 0, i),
+               "html": h, "text": f"t{i}", "lang": "en"}
+              for i, h in enumerate(htmls)]
+    job.apply_epoch(spark.createDataFrame(events), 0)
+
+    got = {r.url: [(c.pos, c.len) for c in r.chunks]
+           for r in lake.read(spark).collect()}
+    any_diff = False
+    for i, h in enumerate(htmls):
+        exp_seeded = [(int(p), int(ln))
+                      for p, ln in V.super_chunks(h, records=dict(seed),
+                                                  **params)]
+        exp_unseeded = [(int(p), int(ln))
+                        for p, ln in V.super_chunks(h, **params)]
+        assert got[f"https://ex.com/{i}"] == exp_seeded
+        any_diff = any_diff or exp_seeded != exp_unseeded
+    assert any_diff

@@ -142,17 +142,24 @@ def test_mor_expire_keeps_live_meta(spark, wal, tmp_path):
 
 
 def test_steady_state_chunk_store_delta_appends(spark, wal, tmp_path):
-    """collect_metrics=False appends per-epoch chunk deltas WITHOUT scanning
-    the existing store (the O(store)-per-epoch anti-join does not scale);
-    chunk_store_current() is the deduplicated read that recovers global
-    uniqueness and still covers all live content."""
+    """collect_metrics=False does ZERO per-epoch chunk-store work (neither
+    the O(store) anti-join nor a per-epoch append scales); flush() folds all
+    pending epochs into one delta append, and chunk_store_current() is the
+    deduplicated read that recovers global uniqueness and still covers all
+    live content. The store manifest records deduped=false (mode flag)."""
     _write_wal(spark, wal, str(tmp_path / "wal"))
     lake = MorBucketedLake(f"{tmp_path}/lake", n_buckets=8)
-    job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp_path}/chunks"),
+    store = AppendOnlyTable(f"{tmp_path}/chunks")
+    job = CdcIngestJob(spark, lake, store,
                        AppendOnlyTable(f"{tmp_path}/metrics"),
                        collect_metrics=False)
     job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
-    job.flush_metrics()
+    # nothing hits the store until flush (deferred), then one append commits
+    # every epoch's marker
+    assert store.committed_epochs() == set()
+    job.flush()
+    assert store.committed_epochs() == set(range(N_EPOCHS))
+    assert store.props().get("deduped") is False
     cur = job.chunk_store_current()
     assert cur.count() == cur.select("chunk_hash").distinct().count() > 0
     live = lake.read(spark).filter(~F.col("deleted"))
@@ -161,3 +168,44 @@ def test_steady_state_chunk_store_delta_appends(spark, wal, tmp_path):
     assert live_hashes.join(cur, "chunk_hash", "left_anti").count() == 0
     # first_seen_epoch is the EARLIEST sighting even across delta re-appends
     assert cur.agg(F.min("first_seen_epoch")).collect()[0][0] == 0
+
+
+def test_chunk_store_compact(spark, wal, tmp_path):
+    """ChunkStore.compact() folds N steady-state delta files into ONE whose
+    content equals current() before compaction — same hashes, same min
+    first_seen_epoch — restoring the deduped=true contract while committed
+    epochs survive (VERDICT r2 #4)."""
+    from rust_chunking_spark.engine.lake import ChunkStore
+
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    lake = MorBucketedLake(f"{tmp_path}/lake", n_buckets=8)
+    store = ChunkStore(f"{tmp_path}/chunks")
+    job = CdcIngestJob(spark, lake, store,
+                       AppendOnlyTable(f"{tmp_path}/metrics"),
+                       collect_metrics=False)
+    half = N_EPOCHS // 2
+    job.run(str(tmp_path / "wal"), list(range(half)))
+    job.flush()
+    job.run(str(tmp_path / "wal"), list(range(half, N_EPOCHS)))
+    job.flush()
+    snap = store.current_snapshot()
+    assert len(snap["files"]["0"]) == 2
+    assert store.props().get("deduped") is False
+    before = {bytes(r.chunk_hash): (r.len, r.first_seen_epoch)
+              for r in store.current(spark).collect()}
+    assert min(e for _, e in before.values()) == 0
+
+    folded = store.compact(spark)
+    assert folded == 2
+    snap2 = store.current_snapshot()
+    assert len(snap2["files"]["0"]) == 1
+    assert store.props().get("deduped") is True
+    assert store.committed_epochs() == set(range(N_EPOCHS))
+    # raw read is now globally unique AND identical to the pre-compact view
+    raw = store.read(spark)
+    assert raw.count() == raw.select("chunk_hash").distinct().count()
+    after = {bytes(r.chunk_hash): (r.len, r.first_seen_epoch)
+             for r in raw.collect()}
+    assert after == before
+    # compact is idempotent at target
+    assert store.compact(spark) == 0

@@ -137,4 +137,36 @@ def test_multimodal_real_codec_when_pil_present(spark):
         rows = decode_and_featurize(real, fake=False).collect()
         assert rows[0].format == "rgb"
         assert len(rows[0].features) == 16
-        assert rows[0].width == 32 and rows[0].height == 32
+        # width/height report the DECODED image's dimensions, not the
+        # feature-grid resize target (ADVICE r2 #3)
+        assert rows[0].width == 40 and rows[0].height == 20
+
+
+def test_multimodal_audio_real_wave_decode(spark):
+    """Audio decode is REAL in-container (stdlib wave): a synthesized PCM16
+    stereo WAV decodes to the right rate/channels/length, and a constant
+    half-amplitude signal yields ~0.5 RMS in every feature window."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from rust_chunking_spark.operators.multimodal import decode_audio_features
+
+    sr, n = 8000, 8000
+    x = np.full(n, 0.5 * 32767, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.repeat(x, 2).tobytes())    # L == R
+    df = spark.createDataFrame([(1, buf.getvalue()), (2, None)],
+                               "media_id long, payload binary")
+    rows = {r.media_id: r for r in
+            decode_audio_features(df, n_features=8).collect()}
+    r = rows[1]
+    assert r.sample_rate == sr and r.n_channels == 2 and r.n_samples == n
+    assert r.format == "pcm" and len(r.features) == 8
+    assert all(abs(f - 0.5) < 1e-3 for f in r.features)
+    assert rows[2].features is None
