@@ -1,1 +1,2 @@
-from .stream_ingest import start_stream_ingest  # noqa: F401
+from .stream_ingest import (drain_open_epochs,  # noqa: F401
+                            start_stream_ingest)

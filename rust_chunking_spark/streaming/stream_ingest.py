@@ -27,11 +27,6 @@ from ..engine.ingest import CdcIngestJob
 from ..sources.wal import WalSource
 
 
-def _max_epoch_on_disk(wal_dir: str) -> int | None:
-    epochs = WalSource(wal_dir).epochs()
-    return max(epochs) if epochs else None
-
-
 def start_stream_ingest(spark: SparkSession, job: CdcIngestJob, wal_dir: str,
                         checkpoint_dir: str, event_schema: str | None = None,
                         max_files_per_trigger: int = 64,
@@ -42,10 +37,23 @@ def start_stream_ingest(spark: SparkSession, job: CdcIngestJob, wal_dir: str,
     TRIGGERS only: `maxFilesPerTrigger` batches *files*, not epochs, so a
     micro-batch can hold a partial slice of an epoch's part files. Applying
     that slice would commit the epoch marker and silently drop the rest of
-    the epoch arriving in the next batch. Instead each triggered epoch is
-    re-read in full from the WAL directory; the committed-epoch marker makes
-    duplicate application a no-op, so exactly-once is preserved under
-    re-delivery from either layer (checkpoint rollback or file re-listing).
+    the epoch arriving in the next batch. Instead EVERY micro-batch sweeps
+    the WAL directory for uncommitted epochs (not just the epochs whose
+    files happen to be in the batch — an epoch deferred as not-yet-closed is
+    re-examined on every subsequent trigger even if none of ITS files arrive
+    again, closing the listing/_SUCCESS race that could otherwise drop it
+    while the streaming checkpoint advanced past its files). Each candidate
+    epoch is re-read in full from the WAL directory; the committed-epoch
+    marker makes duplicate application a no-op, so exactly-once is preserved
+    under re-delivery from either layer (checkpoint rollback or file
+    re-listing).
+
+    An epoch is considered closed when its `_SUCCESS` marker exists or a
+    later epoch segment exists (the WAL writer is epoch-ordered) — so a
+    writer that never emits `_SUCCESS` only leaves its FINAL epoch
+    undecidable (indistinguishable from still-being-written). For
+    availableNow drains where the caller knows the writer is done, apply
+    the tail explicitly with `drain_open_epochs` after termination.
     """
     reader = (spark.readStream.format("parquet")
               .option("maxFilesPerTrigger", max_files_per_trigger))
@@ -57,15 +65,13 @@ def start_stream_ingest(spark: SparkSession, job: CdcIngestJob, wal_dir: str,
     stream = reader.load(wal_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        epochs = [int(r[0]) for r in
-                  batch.select("epoch").distinct().orderBy("epoch").collect()]
-        max_on_disk = _max_epoch_on_disk(wal_dir)
-        for ep in epochs:
+        # the batch content is only the trigger; candidates come from a WAL
+        # sweep so previously-deferred epochs are always retried
+        on_disk = set(WalSource(wal_dir).epochs())
+        max_on_disk = max(on_disk) if on_disk else None
+        candidates = sorted(on_disk - job.lake.committed_epochs())
+        for ep in candidates:
             seg = os.path.join(wal_dir, f"epoch={ep:06d}")
-            # An epoch is safe to apply only once its writer is done: its
-            # _SUCCESS marker exists, or a later epoch segment already exists
-            # (the WAL writer is epoch-ordered). Otherwise defer — the
-            # epoch's remaining files will trigger a later micro-batch.
             closed = (os.path.exists(os.path.join(seg, "_SUCCESS"))
                       or (max_on_disk is not None and max_on_disk > ep))
             if not closed:
@@ -84,3 +90,21 @@ def start_stream_ingest(spark: SparkSession, job: CdcIngestJob, wal_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_open_epochs(spark: SparkSession, job: CdcIngestJob,
+                      wal_dir: str) -> list[int]:
+    """Apply any WAL epochs still uncommitted after a stream drain — the
+    final epoch of a writer that never emits `_SUCCESS` is undecidable from
+    inside the stream (it may still be being written), so the caller, who
+    knows the writer finished, applies it explicitly. Idempotent: committed
+    epochs are skipped by their markers. Returns the epochs applied."""
+    applied = []
+    for ep in sorted(set(WalSource(wal_dir).epochs())
+                     - job.lake.committed_epochs()):
+        seg = os.path.join(wal_dir, f"epoch={ep:06d}")
+        if job.apply_epoch(spark.read.parquet(seg), ep) is not None:
+            applied.append(ep)
+        else:
+            job._repair_chunk_store(ep)
+    return applied
