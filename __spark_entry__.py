@@ -30,10 +30,15 @@ def _spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
     fewer splits than cores (a single small parquet file would serialize the
     UDF onto one task). At 100x scale inputs already have hundreds of splits
     and the shuffle would be pure waste, so this is a no-op there
-    (VERDICT r2 'what's wrong' #2: the unconditional repartition)."""
+    (VERDICT r2 'what's wrong' #2: the unconditional repartition). Split
+    count comes from file stats, NOT df.rdd — the plan->RDD conversion
+    costs ~3s on its first use in a session, which is what made
+    chunk_dedup_ratio_super look slow in BENCH_r02."""
+    from rust_chunking_spark.plans.inspect import estimate_scan_splits
+
     df = df.select(*cols)
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    if estimate_scan_splits(df) < p:
         return df.repartition(p)
     return df
 
@@ -339,6 +344,79 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(e, probe, k=10, n_planes=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (operators/similarity.py:ivf_ann_topk): exact cosine
+    restricted to the n_probe coarse-quantizer cells nearest the probe.
+    Fully oracle-checked — the centroids are a seeded deterministic constant,
+    re-derived in DuckDB as literal arrays (see _ann_ivf_oracle_sql)."""
+    from rust_chunking_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return ivf_ann_topk(e, probe, k=10, n_cells=8, n_probe=2)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard similarity over candidate pairs — the verification rung
+    of the dedup ladder: candidates come from the cheap 50-char-prefix hash
+    join (same candidate generator as exact_dup_pairs, linear at scale), then
+    each pair gets an exact word-3-gram Jaccard. At 100 TB the candidate
+    generator is what bounds the join; the per-pair set math never sees
+    non-candidate rows."""
+    d = _t(spark, sf_dir, "documents")
+    # Phase 1 (skinny): candidate pairs from the prefix-hash self-join —
+    # doc_id + 16-byte hash only, never the text or shingle arrays.
+    keyed = d.select("doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
+    a = keyed.select(F.col("doc_id").alias("a"), "h")
+    b = keyed.select(F.col("doc_id").alias("b"), "h")
+    cand = a.join(b, "h").filter(F.col("a") < F.col("b")).select("a", "b")
+    # Phase 2: shingle arrays ONLY for docs that appear in a candidate pair
+    # (semi-join against the small id set) — the wide arrays never exist for
+    # the non-candidate bulk of the corpus, and the final pair join moves
+    # arrays for candidates only.
+    ids = (cand.select(F.col("a").alias("doc_id"))
+           .union(cand.select(F.col("b").alias("doc_id"))).distinct())
+    shingles = F.when(
+        F.size(F.split(F.col("text"), " ")) >= 3,
+        F.expr("transform(sequence(1, size(split(text, ' ')) - 2),"
+               " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (d.join(F.broadcast(ids), "doc_id", "left_semi")
+          .select("doc_id", F.array_distinct(shingles).alias("sh")))
+    pairs = (sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+             .join(F.broadcast(cand), "a")
+             .join(sh.select(F.col("doc_id").alias("b"),
+                             F.col("sh").alias("shb")), "b"))
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    n_union = F.size("sha") + F.size("shb") - n_inter
+    return (pairs.select("a", "b",
+                         n_inter.alias("n_inter"),
+                         n_union.alias("n_union"),
+                         F.round(n_inter / n_union, 4).alias("jaccard"))
+            .filter(F.col("n_union") > 0)
+            .orderBy("a", "b"))
+
+
+def _q_doc_len_quantiles(spark, sf_dir):
+    """Exact (interpolated) length quantiles per language — the profiling agg
+    a training-data pipeline runs before filtering. Uses Spark's exact
+    `percentile` (not percentile_approx) so DuckDB's quantile_cont is a
+    bit-exact oracle: both interpolate linearly between the same two order
+    statistics."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        .alias("ps"),
+        F.count("*").alias("n_docs"))
+    return (agg.select(
+        "lang", "n_docs",
+        F.round(F.element_at("ps", 1), 3).alias("p25"),
+        F.round(F.element_at("ps", 2), 3).alias("p50"),
+        F.round(F.element_at("ps", 3), 3).alias("p75"),
+        F.round(F.element_at("ps", 4), 3).alias("p95"))
+        .orderBy("lang"))
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -519,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": _q_minhash_dups,
         "simhash_docs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "chunk_stats_all": _q_chunk_stats,
     })
     return q
@@ -560,9 +641,55 @@ def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 7,
         ORDER BY sim DESC, vec_id ASC LIMIT {k}"""
 
 
+def _ann_ivf_oracle_sql(n_cells: int = 8, n_probe: int = 2, dim: int = 64,
+                        seed: int = 11, k: int = 10) -> str:
+    """DuckDB oracle for the IVF ANN: the coarse-quantizer centroids are a
+    seeded deterministic constant (operators/similarity.py:ivf_cells), so the
+    cell assignment (argmin squared distance) is re-derivable in SQL from
+    literal centroid arrays; the probe's n_probe nearest cells come from
+    sorting the same distance list. Distances are computed in DOUBLE on both
+    sides; Gaussian centroid gaps are O(1), so the argmin cannot flip on
+    last-ulp accumulation-order differences."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    c_norms = (cents * cents).sum(axis=1)
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+    dl = "[" + ", ".join(
+        f"({c_norms[i]!r} - 2.0 * list_inner_product({arr(cents[i])}, de))"
+        for i in range(n_cells)) + "]"
+    probe_cells = ", ".join(
+        f"list_position(pdists, sd[{j + 1}]) - 1" for j in range(n_probe))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, dists,
+                 CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT)
+                   AS cell
+          FROM (SELECT vec_id, embedding, {dl} AS dists
+                FROM (SELECT vec_id, embedding,
+                             list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE)) AS de
+                      FROM embeddings))
+        ), p AS (
+          SELECT embedding AS probe,
+                 [{probe_cells}] AS pcells
+          FROM (SELECT embedding, dists AS pdists, list_sort(dists) AS sd
+                FROM b WHERE vec_id = 0)
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(b.embedding, p.probe), 4) AS sim
+        FROM b, p WHERE list_contains(p.pcells, b.cell)
+        ORDER BY sim DESC, vec_id ASC LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+    sql["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     # chunk coverage invariant: sum of chunk lens == utf-8 byte length
     for algo in CHUNK_PARAMS:
         sql[f"chunk_cov_{algo}"] = (
@@ -730,5 +857,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
                      AS n_punct
             FROM documents""",
+        "ngram_jaccard_pairs": """
+            WITH s AS (
+              SELECT doc_id, md5(substring(text, 1, 50)) AS h,
+                     list_distinct(
+                       CASE WHEN len(t) >= 3 THEN
+                         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in generate_series(1, len(t) - 2)]
+                       ELSE [] END) AS sh
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                    FROM documents)
+            )
+            SELECT a, b, n_inter, n_union,
+                   round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+            FROM (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     CAST(len(list_intersect(l.sh, r.sh)) AS INT) AS n_inter,
+                     CAST(len(l.sh) + len(r.sh)
+                          - len(list_intersect(l.sh, r.sh)) AS INT) AS n_union
+              FROM s l JOIN s r USING (h)
+              WHERE l.doc_id < r.doc_id)
+            WHERE n_union > 0 ORDER BY a, b""",
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 3) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 3) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 3) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 3) AS p95
+            FROM documents GROUP BY lang ORDER BY lang""",
     })
     return sql

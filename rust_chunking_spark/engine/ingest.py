@@ -21,11 +21,21 @@ are never shuffled — all decisions happen on skinny metadata:
     -> chunk ONLY insert/update rows (round-robin repartition balances the
        pandas-UDF compute regardless of domain/url skew)
     -> chunk store: observability mode anti-joins vs the store (exact dedup
-       stats, globally-unique table); steady-state appends epoch deltas and
-       dedups at read (chunk_store_current) — O(epoch), never O(store)
-    -> metrics + per-bucket lineage appended
+       stats, globally-unique table, deduped=true manifest flag);
+       steady-state buffers the epoch's merge-file list and folds ALL
+       pending epochs into ONE append at flush() (deduped=false flag;
+       global uniqueness moves to chunk_store_current / ChunkStore.compact)
+       — O(epoch) read at flush, ZERO per-epoch store work
+    -> metrics + per-bucket lineage appended (steady-state: counted by an
+       observe node riding the meta-write job — no dedicated lineage action)
     -> lake.overwrite_buckets(...)  [atomic snapshot flip = commit marker
        (epoch); replaying a committed epoch is a no-op => exactly-once]
+
+Driver-action budget (the Amdahl term of the N->4N scaling rule): a
+steady-state MoR epoch runs THREE Spark actions — the fused LWW collect,
+the one wide content pass, and the meta-commit write (which the lineage
+observation and snapshot stats ride) — plus two end-of-replay flush writes
+shared across all epochs.
 
 Scale notes (100 TB): the only wide shuffles are the final bucket repartition
 for the write and the fallback when a batch's winner set exceeds

@@ -34,11 +34,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true",
                     help="drive through Structured Streaming (availableNow)")
     ap.add_argument("--salt-lww", action="store_true")
+    ap.add_argument("--steady", action="store_true",
+                    help="steady-state mode: per-epoch dedup stats off, "
+                         "lineage + chunk-store deltas flushed once at end "
+                         "(3 Spark actions/epoch — the throughput shape)")
+    ap.add_argument("--compact-store", action="store_true",
+                    help="fold chunk-store delta files into one "
+                         "deduplicated file after the replay")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] when no master is configured (0 = all)")
     args = ap.parse_args(argv)
 
-    from .engine import BucketedLake, CdcIngestJob, MorBucketedLake
+    from .engine import BucketedLake, CdcIngestJob, ChunkStore, MorBucketedLake
     from .engine.lake import AppendOnlyTable
     from .session import get_spark
     from .sources.wal import WalSource
@@ -47,9 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     lake_cls = MorBucketedLake if args.mode == "mor" else BucketedLake
     lake = lake_cls(f"{args.lake}/lake", n_buckets=args.buckets)
     job = CdcIngestJob(spark, lake,
-                       AppendOnlyTable(f"{args.lake}/chunks"),
+                       ChunkStore(f"{args.lake}/chunks"),
                        AppendOnlyTable(f"{args.lake}/metrics"),
-                       algo=args.algo, salt_lww=args.salt_lww)
+                       algo=args.algo, salt_lww=args.salt_lww,
+                       collect_metrics=not args.steady)
     try:
         if args.stream:
             from .streaming import start_stream_ingest
@@ -62,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
             epochs = (args.epochs if args.epochs
                       else WalSource(args.wal).epochs())
             results = job.run(args.wal, epochs)
+        job.flush()
+        if args.compact_store:
+            job.chunk_store.compact(spark)
         for m in results:
             print(json.dumps({
                 "epoch": m.epoch, "seen": m.events_seen,

@@ -62,6 +62,60 @@ def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 16, dim: int = 64,
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
 
+def ivf_cells(df: DataFrame, n_cells: int = 8, dim: int = 64,
+              seed: int = 11, vec_col: str = "embedding",
+              out_col: str = "ivf_cell") -> DataFrame:
+    """Attach an IVF coarse-quantizer cell id: argmin_i ||v - c_i||^2 over
+    n_cells seeded Gaussian centroids (a training-free random quantizer —
+    deterministic, so both sides of an oracle can re-derive it). Vectorized:
+    one (cells x dim) matmul per Arrow batch. At scale the cell id is the
+    shuffle/partition key — search cost is cell-local, the same linear
+    shape as the LSH variant but with tunable cell granularity."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    c_norms = (cents * cents).sum(axis=1)
+
+    @pandas_udf(LongType())
+    def _cell(col: pd.Series) -> pd.Series:
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            d = c_norms - 2.0 * (cents[:, :len(x)] @ x)   # |v|^2 is constant
+            out.append(int(np.argmin(d)))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
+                 n_cells: int = 8, n_probe: int = 2, dim: int = 64,
+                 seed: int = 11, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: exact cosine restricted to the n_probe
+    cells nearest the probe vector. Complements the hyperplane-LSH variant:
+    cells partition the space (every vector lands somewhere), n_probe trades
+    recall for scan fraction — the standard IVF knob."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    c_norms = (cents * cents).sum(axis=1)
+    probe_vec = np.asarray(
+        probe_df.select(vec_col).head()[0], dtype=np.float64)
+    d = c_norms - 2.0 * (cents[:, :len(probe_vec)] @ probe_vec)
+    probe_cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+
+    cells = ivf_cells(df, n_cells, dim, seed, vec_col)
+    probe = probe_df.select(F.col(vec_col).alias("__probe"))
+    j = (cells.filter(F.col("ivf_cell").isin(probe_cells))
+         .crossJoin(F.broadcast(probe)))
+    return (j.select(F.col(id_col),
+                     F.round(_cosine(vec_col, "__probe"), 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(k))
+
+
 def lsh_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                  n_planes: int = 12, dim: int = 64, seed: int = 7,
                  id_col: str = "vec_id", vec_col: str = "embedding"

@@ -153,10 +153,13 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     # serialize the dominant signature compute onto a couple of tasks). At
     # scale the input already has hundreds of splits and the text shuffle
     # would be pure waste.
+    from ..plans.inspect import estimate_scan_splits
+
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     p = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < p:
+    splits = estimate_scan_splits(src)
+    if 0 < splits < p:
         src = src.repartition(p)
     sigs = src.select("id", sig_udf(F.col("__t")).alias("sig"))
     sigs = sigs.cache()

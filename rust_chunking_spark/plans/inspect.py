@@ -58,3 +58,28 @@ def assert_pushed_filters(df: DataFrame) -> None:
     plan = explain_str(df)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"no pushed filters:\n{plan[:2000]}"
+
+
+def estimate_scan_splits(df: DataFrame) -> int:
+    """Cheap lower-bound estimate of a file-backed DataFrame's scan split
+    count, WITHOUT `df.rdd` (whose plan->RDD conversion costs seconds on the
+    first call in a session): max(file count, total bytes / 128MB default
+    maxPartitionBytes). Used to decide whether a compute-heavy UDF stage
+    needs a round-robin spread (splits < cores) — over-estimating merely
+    skips a repartition the source no longer needs; non-local or non-file
+    sources fall back to the file count alone."""
+    files = df.inputFiles()
+    if not files:
+        return 0
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (
+            f[5:] if f.startswith("file:") else None)
+        if p is None:                    # remote FS: size unknown driver-side
+            return len(files)
+        try:
+            import os
+            total += os.path.getsize(p)
+        except OSError:
+            return len(files)
+    return max(len(files), total // (128 << 20) + 1)

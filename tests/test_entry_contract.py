@@ -20,7 +20,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     assert rows_only <= {
         "chunk_dedup_ratio_super", "minhash_dup_pairs", "simhash_docs",
-        "ann_lsh_topk", "chunk_stats_all"}
+        "chunk_stats_all"}
 
 
 def test_sample_queries_run_at_smallest_sf(spark):

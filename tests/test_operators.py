@@ -89,6 +89,44 @@ def test_ann_lsh_agrees_with_brute_force(spark):
     assert len(set(approx) & set(exact)) >= 4
 
 
+def test_ann_ivf_agrees_with_brute_force(spark):
+    """IVF probe-cell search recovers the planted neighborhood: neighbors a
+    small perturbation away from the probe land in the same (or an adjacent
+    probed) coarse cell, so exact cosine over n_probe cells finds them."""
+    from rust_chunking_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rng.standard_normal(64).astype(np.float32) * 0.1
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    probe = df.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in brute_force_topk(df, probe, k=6).collect()]
+    approx = [r.vec_id for r in
+              ivf_ann_topk(df, probe, k=6, n_cells=8, n_probe=3).collect()]
+    assert 0 in approx
+    assert len(set(approx) & set(exact)) >= 4
+
+
+def test_ivf_cells_deterministic_and_total(spark):
+    """Every vector gets exactly one cell (IVF partitions the space — unlike
+    LSH buckets there is no empty assignment) and the assignment is a pure
+    function of the seed."""
+    from rust_chunking_spark.operators.similarity import ivf_cells
+
+    rng = np.random.default_rng(9)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(64).astype(np.float32).tolist())
+         for i in range(50)], "vec_id long, embedding array<float>")
+    a = {r.vec_id: r.ivf_cell for r in ivf_cells(df, n_cells=8).collect()}
+    b = {r.vec_id: r.ivf_cell for r in ivf_cells(df, n_cells=8).collect()}
+    assert a == b
+    assert all(v is not None and 0 <= v < 8 for v in a.values())
+    assert len(a) == 50
+
+
 def test_hyperplane_buckets_deterministic(spark):
     rng = np.random.default_rng(5)
     df = spark.createDataFrame(
