@@ -482,6 +482,19 @@ def _q_doc_token_regex(spark, sf_dir):
         .cast("long").alias("n_punct"))
 
 
+def _q_tumbling_event_counts(spark, sf_dir):
+    """Batch twin of the streaming windowed monitor
+    (streaming/monitors.py:windowed_event_counts — same operator, same plan
+    minus the watermark node): tumbling 10-minute event-time windows with
+    per-type counts and order-independent decimal sums. DuckDB's
+    time_bucket is the same epoch-aligned window assignment."""
+    from rust_chunking_spark.streaming import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    return (windowed_event_counts(e, window="10 minutes")
+            .orderBy("window_start", "event_type"))
+
+
 def _q_orders_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.rollup("o_orderstatus", "o_orderpriority")
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_except": _q_status_except,
         "ann_topk_cosine": _q_ann_topk,
         "langid_heuristic": _q_langid,
+        "tumbling_event_counts": _q_tumbling_event_counts,
         "orders_rollup": _q_orders_rollup,
         "events_lead_lag": _q_events_lead_lag,
         "semi_join_customers": _q_semi_join_customers,
@@ -810,6 +824,12 @@ def oracle_sql() -> dict[str, str]:
                      / (length(text) - length(replace(text, ' ', '')) + 1))
                      AS BIGINT) AS en_score_x1000
             FROM documents""",
+        "tumbling_event_counts": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
