@@ -295,14 +295,19 @@ def main():
                 scal[c] = r
         eff = (scal[n4]["events_per_sec"] / scal[n]["events_per_sec"]) / (n4 / n)
         # sink-mode comparison at the 4N level (same WAL, same pinning): MoR
-        # is the default bench mode; one COW run records the delta between
-        # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO.
+        # is the default bench mode; the COW side records the delta between
+        # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO. Both sides
+        # of the comparison must be best-of-k under the same k — the default
+        # mode's number is already a best-of-(<=3) from the scaling legs, so
+        # a single un-retried run of the other mode would be systematically
+        # noise-deflated. Give the other mode min(repeats, 2) draws.
         other = "cow" if scal[n4].get("lake", "mor") == "mor" else "mor"
-        cmp_run = replay_at(n4, lake=other)
+        cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
+                       for _ in range(min(repeats, 2)))
         lake_compare = {
             scal[n4].get("lake", "mor") + f"_{n4}c":
                 round(scal[n4]["events_per_sec"], 1),
-            other + f"_{n4}c": round(cmp_run["events_per_sec"], 1),
+            other + f"_{n4}c": round(cmp_best, 1),
         }
         result = {
             "metric": "change_events_per_sec",

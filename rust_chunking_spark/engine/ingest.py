@@ -729,6 +729,9 @@ class CdcIngestJob:
         is the read that collapses them (and what a compaction would
         materialize)."""
         spark = spark or self.spark
+        current = getattr(self.chunk_store, "current", None)
+        if current is not None:          # ChunkStore owns the collapse rule
+            return current(spark)
         raw = self.chunk_store.read(spark)
         if raw is None:
             return None
@@ -773,8 +776,8 @@ class CdcIngestJob:
         committed = self.chunk_store.committed_epochs()
         pending = [(ep, files) for ep, files in self._pending_chunks
                    if ep not in committed]
-        self._pending_chunks = []
         if not pending:
+            self._pending_chunks = []
             return
         parts = []
         for ep, files in pending:
@@ -791,6 +794,7 @@ class CdcIngestJob:
                 self.spark.createDataFrame(
                     [], "chunk_hash binary, len long, first_seen_epoch long"),
                 epochs, props={"deduped": False})
+            self._pending_chunks = []
             return
         delta = parts[0]
         for p in parts[1:]:
@@ -799,6 +803,9 @@ class CdcIngestJob:
                  .agg(F.min("len").alias("len"),
                       F.min("first_seen_epoch").alias("first_seen_epoch")))
         self.chunk_store.append(delta, epochs, props={"deduped": False})
+        # cleared only AFTER the append commits — a transient failure above
+        # leaves the buffer intact so a retried flush() still has the deltas
+        self._pending_chunks = []
 
     def flush(self) -> None:
         """End-of-replay flush for steady-state mode: chunk-store delta +

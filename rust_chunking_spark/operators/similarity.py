@@ -97,12 +97,21 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
     """Approximate top-k via IVF: exact cosine restricted to the n_probe
     cells nearest the probe vector. Complements the hyperplane-LSH variant:
     cells partition the space (every vector lands somewhere), n_probe trades
-    recall for scan fraction — the standard IVF knob."""
+    recall for scan fraction — the standard IVF knob.
+
+    Single-probe operator: the probed cell set is derived from ONE probe
+    vector, so `probe_df` must contain exactly one row (a multi-row frame
+    would silently search the wrong cells for the extra rows; map a batch of
+    probes over this instead)."""
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
     c_norms = (cents * cents).sum(axis=1)
-    probe_vec = np.asarray(
-        probe_df.select(vec_col).head()[0], dtype=np.float64)
+    probe_rows = probe_df.select(vec_col).take(2)
+    if len(probe_rows) != 1:
+        raise ValueError(
+            f"ivf_ann_topk needs exactly one probe row, got "
+            f"{'none' if not probe_rows else '>= 2'}")
+    probe_vec = np.asarray(probe_rows[0][0], dtype=np.float64)
     d = c_norms - 2.0 * (cents[:, :len(probe_vec)] @ probe_vec)
     probe_cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
 

@@ -159,7 +159,12 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     p = spark.sparkContext.defaultParallelism
     splits = estimate_scan_splits(src)
-    if 0 < splits < p:
+    if splits == 0:
+        # non-file source: split count unknown from file stats — fall back
+        # to the (slower, plan->RDD) partition count rather than silently
+        # skipping the spread and serializing the signature UDF
+        splits = src.rdd.getNumPartitions()
+    if splits < p:
         src = src.repartition(p)
     sigs = src.select("id", sig_udf(F.col("__t")).alias("sig"))
     sigs = sigs.cache()

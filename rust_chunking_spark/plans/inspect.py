@@ -61,13 +61,22 @@ def assert_pushed_filters(df: DataFrame) -> None:
 
 
 def estimate_scan_splits(df: DataFrame) -> int:
-    """Cheap lower-bound estimate of a file-backed DataFrame's scan split
-    count, WITHOUT `df.rdd` (whose plan->RDD conversion costs seconds on the
-    first call in a session): max(file count, total bytes / 128MB default
-    maxPartitionBytes). Used to decide whether a compute-heavy UDF stage
-    needs a round-robin spread (splits < cores) — over-estimating merely
-    skips a repartition the source no longer needs; non-local or non-file
-    sources fall back to the file count alone."""
+    """Estimate a file-backed DataFrame's scan split count WITHOUT `df.rdd`
+    (whose plan->RDD conversion costs seconds on the first call in a
+    session), mirroring Spark's FilePartitions math: every file is billed
+    openCostInBytes on top of its size, the target split size is
+    min(maxPartitionBytes, max(openCost, totalCost/defaultParallelism)),
+    and splits ~= totalCost / targetSplit. The openCost term is what stops
+    many-small-files inputs from looking like one giant packable blob (the
+    real planner also refuses to pack them tighter than ~openCost each).
+
+    Used to decide whether a compute-heavy UDF stage needs a round-robin
+    spread (splits < cores). Returns 0 for a non-file source (unknown —
+    caller decides the fallback); remote-FS files, whose sizes are unknown
+    driver-side, fall back to the file count."""
+    import math
+    import os
+
     files = df.inputFiles()
     if not files:
         return 0
@@ -78,8 +87,33 @@ def estimate_scan_splits(df: DataFrame) -> int:
         if p is None:                    # remote FS: size unknown driver-side
             return len(files)
         try:
-            import os
             total += os.path.getsize(p)
         except OSError:
             return len(files)
-    return max(len(files), total // (128 << 20) + 1)
+    spark = df.sparkSession
+
+    def _bytes_conf(key: str, default: int) -> int:
+        try:
+            v = str(spark.conf.get(key))
+        except Exception:
+            return default
+        v = v.strip().lower()
+        for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                          ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                          ("b", 1)):
+            if v.endswith(suf):
+                try:
+                    return int(float(v[:-len(suf)]) * mult)
+                except ValueError:
+                    return default
+        try:
+            return int(v)
+        except ValueError:
+            return default
+
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    par = spark.sparkContext.defaultParallelism
+    total_cost = total + len(files) * open_cost
+    target = min(max_pb, max(open_cost, total_cost // max(par, 1)))
+    return max(1, math.ceil(total_cost / max(target, 1)))

@@ -65,7 +65,6 @@ def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                     key_col, "n", "sum_value"))
 
 
-_TRACKER_OUT = "url string, n_events bigint, n_changes bigint, last_fp bigint"
 _TRACKER_STATE = "n_events bigint, n_changes bigint, last_fp bigint"
 
 
@@ -91,15 +90,22 @@ def url_change_tracker(events: DataFrame, key_col: str = "url",
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    out_schema = (f"{key_col} string, n_events bigint, n_changes bigint,"
+                  " last_fp bigint")
+
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             n_ev, n_ch, last = state.get
         else:
             n_ev, n_ch, last = 0, 0, None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # a group larger than the Arrow batch size arrives as SEVERAL pdfs
+        # in source order, not (time, lsn) order — concatenate before the
+        # single sort, or cross-chunk transitions would be mis-ordered
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            pdf = (pd.concat(parts, ignore_index=True)
+                   if len(parts) > 1 else parts[0])
             pdf = pdf.sort_values([time_col, order_col])
             fps = pdf[fp_col].to_numpy(dtype=np.int64)
             prev = np.empty_like(fps)
@@ -115,9 +121,9 @@ def url_change_tracker(events: DataFrame, key_col: str = "url",
             last = int(fps[-1])
         state.update((n_ev, n_ch, last))
         yield pd.DataFrame({
-            "url": [key[0]], "n_events": [n_ev], "n_changes": [n_ch],
+            key_col: [key[0]], "n_events": [n_ev], "n_changes": [n_ch],
             "last_fp": [last]})
 
     return (events.groupBy(key_col)
-            .applyInPandasWithState(update, _TRACKER_OUT, _TRACKER_STATE,
+            .applyInPandasWithState(update, out_schema, _TRACKER_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
