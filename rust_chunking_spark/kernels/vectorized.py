@@ -265,8 +265,11 @@ def rabin_chunks(buf, min_size: int = 16384, max_size: int = 65536) -> np.ndarra
 
 _SHIFTS_1_15 = np.arange(15, 0, -1, dtype=np.uint64)
 _M12 = np.int64(0xFFF)
-_GEAR12 = (GEAR & np.uint64(0xFFF)).astype(np.int16)
-_GEAR12_LS = (GEAR_LS & np.uint64(0xFFF)).astype(np.int16)
+# int32 tables: the whole per-block pipeline runs in int32 — the unmasked
+# 6-term accumulation peaks below 2^25 and two's-complement & 0xFFF is mod
+# 4096 for negatives, so deferring the mask is exact (see find_border)
+_GEAR12 = (GEAR & np.uint64(0xFFF)).astype(np.int32)
+_GEAR12_LS = (GEAR_LS & np.uint64(0xFFF)).astype(np.int32)
 _SEED_SHIFTS = np.arange(15, 0, -1)
 
 
@@ -299,6 +302,13 @@ def _super_find_border_vec(b: np.ndarray, off: int, total: int, min_size: int,
     if t0 >= r2:
         return (0, remaining)
 
+    # int32 fast path with DEFERRED masking: w is masked to 12 bits, the
+    # 6-term accumulation is left unmasked (peak < 6 * 2^22 < 2^25), and the
+    # hit tests `x & mask == 0` read only the low 12 bits, for which any
+    # representative of x mod 4096 gives the same answer (two's-complement
+    # & 0xFFF == mod 4096, negatives included — relevant for Le = L - v12).
+    # Phase-1/phase-2 mask selection is a boundary SLICE, not an np.where:
+    # within one block the phase flips at most once, at pair index c2.
     bflag = False
     bpos = remaining
     bgear = 0
@@ -306,37 +316,36 @@ def _super_find_border_vec(b: np.ndarray, off: int, total: int, min_size: int,
     while B0 < r2:
         B1 = min(r2, B0 + _SUPER_BLOCK)
         lo = max(t0, B0 - 5)                     # history needed for the 6-term sum
-        t = np.arange(lo, B1)
-        u12 = _GEAR12_LS[b[off + 2 * lo:off + 2 * B1:2]].astype(np.int64)
-        v12 = _GEAR12[b[off + 2 * lo + 1:off + 2 * B1:2]].astype(np.int64)
-        w = (u12 + v12) & _M12
+        u12 = _GEAR12_LS[b[off + 2 * lo:off + 2 * B1:2]]
+        v12 = _GEAR12[b[off + 2 * lo + 1:off + 2 * B1:2]]
+        w = (u12 + v12) & 0xFFF
         L = w.copy()
         for j in range(1, 6):
-            L[j:] = (L[j:] + (w[:-j] << (2 * j))) & _M12
+            L[j:] += w[:-j] << (2 * j)
         if lo == t0:
             k6 = min(6, len(L))
-            L[:k6] = (L[:k6] + (seed12 << (2 * np.arange(1, k6 + 1)))) & _M12
-        Le = (L - v12) & _M12
+            L[:k6] += (seed12 << (2 * np.arange(1, k6 + 1))).astype(np.int32)
+        Le = L - v12
         s = B0 - lo                              # drop warm-up rows
-        t, L, Le, v12 = t[s:], L[s:], Le[s:], v12[s:]
+        L, Le = L[s:], Le[s:]
 
-        in_phase1 = t < c2
-        even_mask = np.where(in_phase1, scalar.SUPER_MASK_S_LS,
-                             scalar.SUPER_MASK_L_LS)
-        odd_mask = np.where(in_phase1, scalar.SUPER_MASK_S, scalar.SUPER_MASK_L)
-        even_hit = (Le & even_mask) == 0
-        odd_hit = (L & odd_mask) == 0
-        cand = np.flatnonzero(even_hit | odd_hit)
+        m = len(L)
+        pb = min(max(c2 - B0, 0), m)             # phase boundary index
+        hit = np.empty(m, dtype=bool)
+        hit[:pb] = (((Le[:pb] & scalar.SUPER_MASK_S_LS) == 0)
+                    | ((L[:pb] & scalar.SUPER_MASK_S) == 0))
+        hit[pb:] = (((Le[pb:] & scalar.SUPER_MASK_L_LS) == 0)
+                    | ((L[pb:] & scalar.SUPER_MASK_L) == 0))
+        cand = np.flatnonzero(hit)
         first_cut = int(cand[0]) if len(cand) else -1
 
-        if not bflag:
-            ph2 = ~in_phase1
-            b_even = ph2 & ((Le & scalar.SUPER_MASK_B_LS) == 0)
-            b_odd = ph2 & ((L & scalar.SUPER_MASK_B) == 0)
+        if not bflag and pb < m:
+            b_even = (Le[pb:] & scalar.SUPER_MASK_B_LS) == 0
+            b_odd = (L[pb:] & scalar.SUPER_MASK_B) == 0
             bc = np.flatnonzero(b_even | b_odd)
-            if len(bc) and (first_cut < 0 or bc[0] < first_cut):
+            if len(bc) and (first_cut < 0 or pb + int(bc[0]) < first_cut):
                 k = int(bc[0])
-                tk = B0 + k
+                tk = B0 + pb + k
                 if b_even[k]:
                     bpos = 2 * tk
                     bgear = int(GEAR_LS[b[off + 2 * tk]])
@@ -347,7 +356,9 @@ def _super_find_border_vec(b: np.ndarray, off: int, total: int, min_size: int,
 
         if first_cut >= 0:
             tk = B0 + first_cut
-            if even_hit[first_cut]:
+            even_mask = (scalar.SUPER_MASK_S_LS if first_cut < pb
+                         else scalar.SUPER_MASK_L_LS)
+            if (int(Le[first_cut]) & even_mask) == 0:
                 return (int(GEAR_LS[b[off + 2 * tk]]), 2 * tk)
             return (int(GEAR[b[off + 2 * tk + 1]]), 2 * tk + 1)
         B0 = B1
@@ -430,6 +441,12 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
     eq_count = 0  # persists across chunks (ultra.rs quirk: never reset in make_chunk)
     # first k with chk_len = min+8+8k >= max  -> phase-2 loop exits (make_chunk(0))
     k_max = max(0, -(-(max_size - min_size - 8) // 8))
+    # first k whose check offset reaches normal_size: the S->L mask flips
+    # exactly once per chunk, at this k — so the hit test SLICES at it
+    # instead of gathering both prefix arrays and np.where-ing (halves the
+    # fancy-index traffic, the dominant per-chunk cost)
+    k_s = max(0, -(-(normal_size - min_size - 8) // 8))
+    Q8 = 8 * np.arange(k_max, dtype=np.int64)   # per-call stride table
     while start != n:
         if start + min_size + 8 >= n:
             out.append((start, n - start))
@@ -444,15 +461,14 @@ def ultra_chunks(buf, min_size: int = 2048, normal_size: int = 10240,
         while B0 < K:
             B1 = min(K, B0 + BLOCK)
             BLOCK *= 4
-            ks = np.arange(B0, B1)
-            Qo = start + min_size + 8 + 8 * ks
+            Qo = start + min_size + 8 + Q8[B0:B1]
             # prefix-sum formulation for every window; k == 0 (detached Po)
             # overwritten with the direct evaluation below
             eq = (PE[Qo] - PE[Qo - 8]) == 8
-            chk_at = min_size + 8 + 8 * ks
-            use_S = chk_at < normal_size
-            hit = np.where(use_S, PHS[Qo] - PHS[Qo - 8],
-                           PHL[Qo] - PHL[Qo - 8]) > 0
+            sb = min(max(k_s - B0, 0), B1 - B0)   # S/L mask boundary
+            hit = np.empty(B1 - B0, dtype=bool)
+            hit[:sb] = (PHS[Qo[:sb]] - PHS[Qo[:sb] - 8]) > 0
+            hit[sb:] = (PHL[Qo[sb:]] - PHL[Qo[sb:] - 8]) > 0
             if B0 == 0:
                 Po0 = start
                 Qo0 = start + min_size + 8
