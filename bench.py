@@ -35,7 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
+# The default doubled 400k -> 800k when the SuperCDC kernel got 2.3x
+# faster: the timed region must keep the per-epoch serial floor (job
+# scheduling, snapshot IO) amortized to a few percent, or the N->4N pair
+# measures the floor, not the engine.
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "800000"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 AVG_WORDS = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "2500"))
 # N for the N-vs-4N scaling pair. Default 1 (1 vs 4 cores): measured STREAM
@@ -233,6 +237,13 @@ def main():
     # deterministic cached WAL: repeated bench invocations in a round reuse it
     key = f"bench-wal2-{BENCH_PAGES}-{BENCH_EVENTS}-{AVG_WORDS}-{N_EPOCHS}"
     wal_dir = os.path.join(SCRATCH or tempfile.gettempdir(), key)
+    # evict caches for OTHER settings: tmpfs pages are unswappable RAM here,
+    # and stale multi-GB WALs have OOM-killed a 48g-heap replay JVM before
+    # (dmesg 'Killed process (java)'; py4j sees only 'Connection refused')
+    scratch_root = SCRATCH or tempfile.gettempdir()
+    for d in os.listdir(scratch_root):
+        if (d.startswith(("bench-wal", "soak-wal")) and d != key):
+            shutil.rmtree(os.path.join(scratch_root, d), ignore_errors=True)
     try:
         marker = os.path.join(wal_dir, "_DONE")
         if os.path.exists(marker):
