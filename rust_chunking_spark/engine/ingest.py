@@ -115,6 +115,10 @@ class CdcIngestJob:
         self.rows_chunked_acc = spark.sparkContext.accumulator(0)
         self._pending_lineage: list = []
         self._pending_chunks: list[tuple[int, list[str]]] = []
+        # per-epoch stashes (observability mode): decision lineage + the
+        # chunk-length histogram write as ONE metrics append in apply_epoch
+        self._epoch_lineage: list = []
+        self._obs_hist_rows: list = []
         #: per-phase wall seconds of the most recent apply_epoch (observability)
         self.last_phase_timings: dict[str, float] = {}
 
@@ -243,6 +247,17 @@ class CdcIngestJob:
                                                epoch)
         _mark("chunk_store")
         m.chunks_total, m.chunks_new, m.bytes_total, m.bytes_new = chunk_stats
+        if self.collect_metrics:
+            # ONE metrics append per epoch: decision lineage (stashed by the
+            # apply variant) + the chunk-length histogram from the store
+            # update. The metrics table's per-epoch commit marker no-ops a
+            # second append for the same epoch, so these must write together.
+            lin = [r.asDict() if hasattr(r, "asDict") else dict(r)
+                   for r in self._epoch_lineage]
+            self._append_metrics(lin + list(self._obs_hist_rows), epoch)
+            self._epoch_lineage = []
+            self._obs_hist_rows = []
+            _mark("metrics_write")
         keys.unpersist()
         self.last_phase_timings = phases
         return m
@@ -266,8 +281,12 @@ class CdcIngestJob:
         _mark("decide_collect")
         new_rows, iu_urls = self._assemble_rows(latest, decided, cur_wide,
                                                 n_winners, extras)
-        self._append_metrics(lineage_rows, epoch)
-        _mark("metrics_write")
+        if self.collect_metrics:
+            # stashed; apply_epoch writes it together with the chunk-length
+            # histogram in one per-epoch metrics append
+            self._epoch_lineage = lineage_rows
+        else:
+            self._append_metrics(lineage_rows, epoch)   # buffers for flush
         stats = {"__schema": new_rows.schema.json(), **dataclasses.asdict(m)}
         merge_files = self.lake.overwrite_buckets(new_rows, dirty, epoch,
                                                   stats)
@@ -350,8 +369,12 @@ class CdcIngestJob:
         iu_urls = (decided.filter(F.col("decision").isin("insert", "update"))
                    .select("url"))
         if obs is None:
-            self._append_metrics(lineage_rows, epoch)
-            _mark("metrics_write")
+            if self.collect_metrics:
+                # stashed; apply_epoch writes it together with the
+                # chunk-length histogram in one per-epoch metrics append
+                self._epoch_lineage = lineage_rows
+            else:                        # not-dirty edge case: buffers
+                self._append_metrics(lineage_rows, epoch)
             stats = {"__schema": self._mor_read_schema(cand_rows, meta_rows,
                                                        extras),
                      "__meta_schema": meta_rows.schema.json(),
@@ -717,6 +740,18 @@ class CdcIngestJob:
                       .select("chunk_hash", "len")
                       .withColumn("first_seen_epoch", F.lit(epoch)))
         self.chunk_store.append(new_chunks, epoch, props={"deduped": True})
+        # boundary-count histogram (north-star lineage item): 4 KiB buckets
+        # of this epoch's written chunk lengths, weighted by occurrence.
+        # Rides the cached `uniq` — one extra tiny action, observability
+        # mode only (steady-state computes it at flush over all epochs).
+        # Stashed, not written: apply_epoch folds it into the epoch's single
+        # metrics append.
+        hist = (uniq.groupBy((F.floor(F.col("len") / self.HIST_BUCKET)
+                              * self.HIST_BUCKET).cast("long").alias("bucket"))
+                .agg(F.sum("mult").alias("cnt")).collect())
+        self._obs_hist_rows = [
+            {"bucket": int(r.bucket), "decision": "chunk_len_hist",
+             "cnt": int(r.cnt), "epoch": epoch} for r in hist]
         uniq.unpersist()
         acc.add(int(agg.total_n))
         return int(agg.total_n), int(agg.new_n), int(agg.total_b), int(agg.new_b)
@@ -742,6 +777,9 @@ class CdcIngestJob:
     # ---------------------------------------------------------------- metrics
 
     LINEAGE_SCHEMA = "bucket long, decision string, cnt long, epoch long"
+    #: chunk-length histogram bucket width (bytes); histogram rows reuse the
+    #: lineage schema with decision='chunk_len_hist' and bucket=floor(len/4Ki)
+    HIST_BUCKET = 4096
 
     def _append_metrics(self, lineage_rows: list, epoch: int) -> None:
         """Write the already-collected lineage rows (tiny, driver-local).
@@ -758,8 +796,15 @@ class CdcIngestJob:
             self._pending_lineage.append((epoch, lineage_rows))
 
     def flush_metrics(self) -> None:
-        """Write lineage buffered by collect_metrics=False mode."""
+        """Write lineage buffered by collect_metrics=False mode. All pending
+        rows for one epoch (decision counts AND the chunk-length histogram
+        from flush_chunk_store) merge into ONE append — the metrics table's
+        per-epoch commit marker makes a second append for the same epoch a
+        no-op, so split writes would silently drop rows."""
+        by_epoch: dict[int, list] = {}
         for epoch, rows in self._pending_lineage:
+            by_epoch.setdefault(epoch, []).extend(rows)
+        for epoch, rows in by_epoch.items():
             if rows:
                 self.metrics.append(
                     self.spark.createDataFrame(rows, self.LINEAGE_SCHEMA),
@@ -796,13 +841,29 @@ class CdcIngestJob:
                 epochs, props={"deduped": False})
             self._pending_chunks = []
             return
-        delta = parts[0]
+        raw = parts[0]
         for p in parts[1:]:
-            delta = delta.unionByName(p)
-        delta = (delta.groupBy("chunk_hash")
+            raw = raw.unionByName(p)
+        delta = (raw.groupBy("chunk_hash")
                  .agg(F.min("len").alias("len"),
                       F.min("first_seen_epoch").alias("first_seen_epoch")))
         self.chunk_store.append(delta, epochs, props={"deduped": False})
+        # boundary-count histograms for every flushed epoch in one extra
+        # job over the same merge-file union (the per-epoch tag doubles as
+        # the epoch key); buffered so flush_metrics writes them with the
+        # rest of the lineage
+        hist = (raw.groupBy(
+                    F.col("first_seen_epoch").alias("epoch"),
+                    (F.floor(F.col("len") / self.HIST_BUCKET)
+                     * self.HIST_BUCKET).cast("long").alias("bucket"))
+                .agg(F.count("*").alias("cnt")).collect())
+        by_epoch: dict[int, list] = {}
+        for r in hist:
+            by_epoch.setdefault(int(r.epoch), []).append(
+                {"bucket": int(r.bucket), "decision": "chunk_len_hist",
+                 "cnt": int(r.cnt), "epoch": int(r.epoch)})
+        for ep, rows in by_epoch.items():
+            self._pending_lineage.append((ep, rows))
         # cleared only AFTER the append commits — a transient failure above
         # leaves the buffer intact so a retried flush() still has the deltas
         self._pending_chunks = []

@@ -218,3 +218,49 @@ def test_engine_supercdc_record_seeding(spark, tmp_path):
         assert got[f"https://ex.com/{i}"] == exp_seeded
         any_diff = any_diff or exp_seeded != exp_unseeded
     assert any_diff
+
+def test_chunk_len_histogram_in_metrics_both_modes(spark, wal, tmp_path):
+    """Boundary-count histograms (north-star lineage item) land in the
+    metrics table alongside the decision lineage, in BOTH metric modes —
+    and since the table's per-epoch commit marker no-ops repeat appends,
+    this also guards the one-append-per-epoch merge (a split write would
+    silently drop whichever half came second)."""
+    wal_dir = str(tmp_path / "wal")
+    _write_wal(spark, wal, wal_dir)
+
+    # observability mode: per-epoch histogram over deduped (hash, mult)
+    job = _mk_job(spark, str(tmp_path / "obs"))
+    results = job.run(wal_dir, list(range(N_EPOCHS)))
+    mt = job.metrics.read(spark).collect()
+    hist = [r for r in mt if r.decision == "chunk_len_hist"]
+    lineage = [r for r in mt if r.decision != "chunk_len_hist"]
+    assert hist and lineage                      # neither half was dropped
+    assert all(r.bucket % CdcIngestJob.HIST_BUCKET == 0 for r in hist)
+    per_epoch = {}
+    for r in hist:
+        per_epoch[r.epoch] = per_epoch.get(r.epoch, 0) + r.cnt
+    # histogram mass == chunk instances counted by the same pass
+    for m in results:
+        if m.chunks_total:
+            assert per_epoch.get(m.epoch) == m.chunks_total
+
+    # steady-state mode: histograms computed once at flush, per epoch
+    from rust_chunking_spark.engine import ChunkStore
+
+    lake2 = BucketedLake(str(tmp_path / "ss/lake"), n_buckets=8)
+    job2 = CdcIngestJob(spark, lake2,
+                        ChunkStore(str(tmp_path / "ss/chunks")),
+                        AppendOnlyTable(str(tmp_path / "ss/metrics")),
+                        collect_metrics=False)
+    job2.run(wal_dir, list(range(N_EPOCHS)))
+    job2.flush()
+    mt2 = job2.metrics.read(spark).collect()
+    hist2 = [r for r in mt2 if r.decision == "chunk_len_hist"]
+    lineage2 = [r for r in mt2 if r.decision != "chunk_len_hist"]
+    assert lineage2                              # decision rows survived
+    eps_with_hist = {r.epoch for r in hist2}
+    # every epoch that wrote chunks has histogram rows
+    chunked_eps = {r.epoch for r in hist2}
+    assert eps_with_hist == chunked_eps and len(eps_with_hist) >= 1
+    assert all(r.cnt > 0 and r.bucket % CdcIngestJob.HIST_BUCKET == 0
+               for r in hist2)
