@@ -80,16 +80,17 @@ def estimate_scan_splits(df: DataFrame) -> int:
     files = df.inputFiles()
     if not files:
         return 0
-    total = 0
+    sizes = []
     for f in files:
         p = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else None)
         if p is None:                    # remote FS: size unknown driver-side
             return len(files)
         try:
-            total += os.path.getsize(p)
+            sizes.append(os.path.getsize(p))
         except OSError:
             return len(files)
+    total = sum(sizes)
     spark = df.sparkSession
 
     def _bytes_conf(key: str, default: int) -> int:
@@ -116,4 +117,10 @@ def estimate_scan_splits(df: DataFrame) -> int:
     par = spark.sparkContext.defaultParallelism
     total_cost = total + len(files) * open_cost
     target = min(max_pb, max(open_cost, total_cost // max(par, 1)))
-    return max(1, math.ceil(total_cost / max(target, 1)))
+    # partitions = cost bins, but never more than the raw size-based splits
+    # (openCost pads the bin math, yet a file still yields at least one and
+    # at most ceil(size/target) splits before packing)
+    cost_bins = math.ceil(total_cost / max(target, 1))
+    raw_splits = len(files) + sum(
+        max(0, math.ceil(sz / max(target, 1)) - 1) for sz in sizes)
+    return max(1, min(cost_bins, raw_splits))

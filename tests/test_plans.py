@@ -107,3 +107,28 @@ def test_epoch_apply_has_bounded_wide_shuffles(spark, small_job):
                      if "html" in m.group(0)]
     assert not wide_shuffles, wide_shuffles
     keys.unpersist()
+
+
+def test_estimate_scan_splits_mirrors_file_partitioning(spark, tmp_path):
+    """estimate_scan_splits (the guard for compute-balancing repartitions)
+    tracks Spark's FilePartitions math: one small file -> 1 split (spread
+    fires); many openCost-dominated small files -> ~one split each (spread
+    correctly skipped); non-file sources -> 0 (caller decides)."""
+    from rust_chunking_spark.plans.inspect import estimate_scan_splits
+
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(one)
+    est_one = estimate_scan_splits(spark.read.parquet(one))
+    assert est_one == 1
+
+    many = str(tmp_path / "many")
+    spark.range(100000).repartition(24).write.mode("overwrite").parquet(many)
+    df_many = spark.read.parquet(many)
+    est_many = estimate_scan_splits(df_many)
+    # 24 openCost-dominated tiny files: the planner packs them into
+    # ~total_cost/target bins (target = total_cost/defaultParallelism here);
+    # the estimate must land within 2x of the planner's real answer
+    actual = df_many.rdd.getNumPartitions()
+    assert actual // 2 <= est_many <= actual * 2, (est_many, actual)
+
+    assert estimate_scan_splits(spark.range(10)) == 0
