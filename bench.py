@@ -292,11 +292,14 @@ def main():
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         scal = {}
         samples: dict[int, list] = {n: [], n4: []}
-        # The N-core legs dominate wall-clock (~4x the 4N legs) and extra
-        # N samples only LOWER the reported efficiency (best-of-k takes the
-        # max N-core throughput, the conservative denominator), so cap them
-        # at 2 while the cheap 4N side keeps the full repeat count.
-        order = ([n, n4] * min(repeats, 2) + [n4] * max(0, repeats - 2)
+        # Efficiency is computed from EQUAL draw counts per leg (ADVICE r3
+        # #1: a max() estimator over fewer draws systematically
+        # underestimates that leg under one-sided host noise, which would
+        # bias eff upward if only the denominator were capped). eff_k pairs
+        # are interleaved; any extra 4N draws beyond eff_k feed only the
+        # best-of-k headline throughput, never the efficiency ratio.
+        eff_k = min(repeats, 2)
+        order = ([n, n4] * eff_k + [n4] * max(0, repeats - eff_k)
                  + ([CPUS] if CPUS not in (n, n4) else []))
         for c in order:
             r = replay_at(c)
@@ -304,7 +307,26 @@ def main():
                 samples[c].append(round(r["events_per_sec"], 1))
             if c not in scal or r["events_per_sec"] > scal[c]["events_per_sec"]:
                 scal[c] = r
-        eff = (scal[n4]["events_per_sec"] / scal[n]["events_per_sec"]) / (n4 / n)
+        eff = (max(samples[n4][:eff_k]) / max(samples[n][:eff_k])) / (n4 / n)
+        # Secondary 2N->8N pair (VERDICT r3 #7): quantifies where this
+        # single-VM's shared memory bus starts to flatten scaling (STREAM
+        # memcpy itself is ~0.63 efficient at 2->8 procs — BENCH.md), which
+        # a real cluster of separate hosts does not exhibit. In-artifact
+        # evidence for the documented deviation from BASELINE.md's
+        # local[8]/local[32] proxy. 1->4 remains the gate.
+        n2, n8 = 2 * SCALE_N, 8 * SCALE_N
+        k2 = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "2"))
+        samples2: dict[int, list] = {n2: [], n8: []}
+        for c in [n2, n8] * k2:
+            samples2[c].append(round(replay_at(c)["events_per_sec"], 1))
+        eff2 = (max(samples2[n8]) / max(samples2[n2])) / (n8 / n2)
+        scaling_2to8 = {
+            "cores_n": n2, "cores_4n": n8,
+            "tput_n": max(samples2[n2]), "tput_4n": max(samples2[n8]),
+            "efficiency": round(eff2, 3),
+            "samples_n": samples2[n2], "samples_4n": samples2[n8],
+            "pinned": bool(shutil.which("taskset")),
+        }
         # sink-mode comparison at the 4N level (same WAL, same pinning): MoR
         # is the default bench mode; the COW side records the delta between
         # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO. Both sides
@@ -342,12 +364,14 @@ def main():
                 "seconds_n": round(scal[n]["seconds"], 2),
                 "seconds_4n": round(scal[n4]["seconds"], 2),
                 "efficiency": round(eff, 3),
+                "eff_draws_per_leg": eff_k,
                 "samples_n": samples[n],
                 "samples_4n": samples[n4],
                 "pinned": bool(shutil.which("taskset")),
                 "tput_full": round(scal[CPUS]["events_per_sec"], 1),
                 "cores_full": CPUS,
             },
+            "scaling_2to8": scaling_2to8,
             "kernel_scaling": kscale,
             "lake_compare": lake_compare,
             "replay_events": total,

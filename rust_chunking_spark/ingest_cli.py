@@ -60,11 +60,17 @@ def main(argv: list[str] | None = None) -> int:
                        collect_metrics=not args.steady)
     try:
         if args.stream:
-            from .streaming import start_stream_ingest
+            from .streaming import drain_open_epochs, start_stream_ingest
 
             q = start_stream_ingest(spark, job, args.wal,
                                     f"{args.lake}/checkpoint")
             q.awaitTermination()
+            # The CLI is the caller that knows the WAL writer is done, so it
+            # closes the gap the availableNow drain can't decide from inside
+            # the stream: a tail epoch segment with no _SUCCESS marker.
+            drained = drain_open_epochs(spark, job, args.wal)
+            if drained:
+                print(json.dumps({"drained_epochs": drained}))
             results = []
         else:
             epochs = (args.epochs if args.epochs

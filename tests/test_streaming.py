@@ -183,3 +183,37 @@ def test_stream_repairs_chunk_store_after_partial_crash(spark, wal, tmp_path):
     assert store2.committed_epochs() == set(range(N_EPOCHS))
     after = {bytes(r.chunk_hash) for r in store2.read(spark).collect()}
     assert after == before
+
+
+def test_stream_cli_drains_tail_epoch_without_success(spark, wal, tmp_path,
+                                                      monkeypatch, capsys):
+    """ingest_cli --stream must not leave a markerless tail epoch unapplied:
+    after awaitTermination it calls drain_open_epochs itself — the CLI is the
+    caller position that knows the WAL writer is done (ADVICE r3 #4)."""
+    import glob
+    import os
+
+    from rust_chunking_spark import ingest_cli
+    from rust_chunking_spark.engine import BucketedLake
+
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(wal):
+        df = spark.createDataFrame([dict(e) for e in events])
+        df.write.mode("overwrite").parquet(f"{wal_dir}/epoch={ep:06d}")
+    for m in glob.glob(f"{wal_dir}/epoch=*/_SUCCESS"):
+        os.remove(m)
+
+    # keep the shared test session alive through main()'s finally-stop
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = ingest_cli.main(["--wal", wal_dir, "--lake", str(tmp_path / "lk"),
+                          "--mode", "cow", "--buckets", "8", "--stream"])
+    assert rc == 0
+    lake = BucketedLake(str(tmp_path / "lk" / "lake"), n_buckets=8)
+    assert lake.committed_epochs() == set(range(N_EPOCHS))
+    out = capsys.readouterr().out
+    assert f'"drained_epochs": [{N_EPOCHS - 1}]' in out
+
+    oracle = expected_final_state(wal)
+    rows = {r.url: r for r in
+            lake.read(spark).filter(~F.col("deleted")).collect()}
+    assert set(rows) == set(oracle)
