@@ -77,3 +77,65 @@ def test_expire_keeps_current_after_crash_orphan(spark, tmp_path):
     assert [r.url for r in after] == [r.url for r in before]
     # the orphan manifest was cleaned up, not promoted
     assert orphan_v not in lake.snapshot_versions()
+
+
+def _wal_to_disk(spark, tmp_path, n_epochs=6, seed=21):
+    wal = generate_wal(n_pages=0, n_epochs=n_epochs, events_per_epoch=40,
+                       seed=seed)
+    for ep, events in enumerate(wal):
+        spark.createDataFrame([dict(e) for e in events]).write.mode(
+            "overwrite").parquet(f"{tmp_path}/wal/epoch={ep:06d}")
+    return wal
+
+
+def _state(spark, lake):
+    return sorted(
+        (r.url, r.lsn, r.text)
+        for r in lake.read(spark).filter(~F.col("deleted")).collect())
+
+
+def _mk_job(spark, tmp_path, lake_cls, tag, n_buckets=32):
+    lake = lake_cls(f"{tmp_path}/{tag}/lake", n_buckets=n_buckets)
+    return lake, CdcIngestJob(
+        spark, lake, AppendOnlyTable(f"{tmp_path}/{tag}/chunks"),
+        AppendOnlyTable(f"{tmp_path}/{tag}/metrics"))
+
+
+def test_rebucket_mid_replay_both_modes(spark, tmp_path):
+    """Bucket-count evolution (VERDICT r3 missing #1): ingest at 32 buckets,
+    rebucket to 128 mid-replay, ingest more epochs — final state identical
+    to an un-rebucketed run, committed epochs/schema carried, and the
+    post-rebucket epochs' dirty-bucket sets follow the NEW spec (including
+    through a fresh lake handle, which must adopt the persisted count over
+    its constructor arg)."""
+    from rust_chunking_spark.engine.lake import MorBucketedLake
+
+    wal = _wal_to_disk(spark, tmp_path)
+    half = 3
+    for mode, lake_cls in (("mor", MorBucketedLake), ("cow", BucketedLake)):
+        lake, job = _mk_job(spark, tmp_path, lake_cls, f"{mode}-re")
+        job.run(f"{tmp_path}/wal", list(range(half)))
+        assert lake.rebucket(spark, 128) == 32
+        assert lake.n_buckets == 128
+        assert lake.committed_epochs() == set(range(half))
+        # post-rebucket epochs through a FRESH handle with a stale ctor arg:
+        # the persisted spec must win, or every key mis-routes
+        lake2, job2 = _mk_job(spark, tmp_path, lake_cls, f"{mode}-re",
+                              n_buckets=32)
+        assert lake2.n_buckets == 128
+        job2.run(f"{tmp_path}/wal", list(range(half, len(wal))))
+        # dirty buckets of the new epochs follow the new spec
+        stats = lake2.current_snapshot()["stats"]
+        new_buckets = {
+            int(f.split("__bucket=", 1)[1].split("/", 1)[0])
+            for ep in range(half, len(wal))
+            for f in stats[str(ep)]["merge_files"]}
+        assert max(new_buckets) > 31, new_buckets
+
+        baseline, base_job = _mk_job(spark, tmp_path, lake_cls,
+                                     f"{mode}-base")
+        base_job.run(f"{tmp_path}/wal", list(range(len(wal))))
+        assert _state(spark, lake2) == _state(spark, baseline)
+        # old data dirs become unreferenced and are GC'd by expire
+        lake2.expire_snapshots(keep_last=1)
+        assert _state(spark, lake2) == _state(spark, baseline)
