@@ -668,6 +668,14 @@ class AppendOnlyTable:
         """Table manifest properties (e.g. the `deduped` store-mode flag)."""
         return dict(self.current_snapshot().get("props", {}))
 
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old manifests and any data directory no kept snapshot
+        references — the cleanup that collects append dirs superseded by
+        ``ChunkStore.compact()`` (VERDICT r3 #8). Same crash-orphan-safe
+        logic as the lake's expire (the manifest format is shared).
+        Returns the number of data directories removed."""
+        return self._lake.expire_snapshots(keep_last=keep_last)
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self._lake.read(spark)
 
@@ -700,8 +708,8 @@ class ChunkStore(AppendOnlyTable):
         version; committed epochs and props carry over, with deduped
         restored to true). Returns the number of files folded, 0 if the
         store is already within target. Superseded data directories stay on
-        disk until a caller removes them (same orphan policy as lake
-        snapshots before expire_snapshots)."""
+        disk until ``expire_snapshots()`` collects them (same orphan policy
+        as the lake: compaction flips the manifest, expiry reclaims)."""
         snap = self.current_snapshot()
         files = snap["files"].get("0", [])
         if len(files) <= target_files:

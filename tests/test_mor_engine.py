@@ -295,3 +295,39 @@ def test_steady_lineage_bounded_above_obs_bucket_limit(spark, tmp_path):
     for f in VERDICT_FIELDS:
         assert getattr(m, f) == getattr(jobs["obs"][1], f)
     assert rows == _metric_rows(spark, f"{tmp_path}/obs/metrics")
+
+
+def test_chunk_store_expire_collects_compacted_orphans(spark, wal, tmp_path):
+    """compact() supersedes the delta append dirs but leaves them on disk;
+    expire_snapshots() must reclaim them — afterwards only live data dirs
+    remain and the store reads identically (VERDICT r3 #8)."""
+    import os
+
+    from rust_chunking_spark.engine.lake import ChunkStore
+
+    _write_wal(spark, wal, str(tmp_path / "wal"))
+    lake = MorBucketedLake(f"{tmp_path}/lake", n_buckets=8)
+    store = ChunkStore(f"{tmp_path}/chunks")
+    job = CdcIngestJob(spark, lake, store,
+                       AppendOnlyTable(f"{tmp_path}/metrics"),
+                       collect_metrics=False)
+    half = N_EPOCHS // 2
+    job.run(str(tmp_path / "wal"), list(range(half)))
+    job.flush()
+    job.run(str(tmp_path / "wal"), list(range(half, N_EPOCHS)))
+    job.flush()
+    assert store.compact(spark) == 2
+    data_dir = f"{tmp_path}/chunks/data"
+    assert len(os.listdir(data_dir)) == 3   # 2 superseded deltas + compacted
+    before = {bytes(r.chunk_hash): (r.len, r.first_seen_epoch)
+              for r in store.read(spark).collect()}
+
+    removed = store.expire_snapshots(keep_last=1)
+    assert removed == 2
+    live = store.current_snapshot()["files"]["0"]
+    assert sorted(os.listdir(data_dir)) == sorted(live) and len(live) == 1
+    after = {bytes(r.chunk_hash): (r.len, r.first_seen_epoch)
+             for r in store.read(spark).collect()}
+    assert after == before
+    assert store.committed_epochs() == set(range(N_EPOCHS))
+    assert store.props().get("deduped") is True
