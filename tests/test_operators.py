@@ -244,3 +244,32 @@ def test_hot_prefix_group_capped_to_representative_stars(spark, tmp_path):
     assert len([r for r in jac if r.capped]) == 9_999
     # star pairs still get the full verification math
     assert all(0 <= r.jaccard <= 1 for r in jac)
+
+
+def test_token_hash_batch_matches_scalar():
+    """_token_hashes_batch is the whole-batch formulation of _token_hashes;
+    they must agree hash-for-hash on every row shape (empty, whitespace-only,
+    multibyte, repeated, long)."""
+    from rust_chunking_spark.operators.text_dedup import (_token_hashes,
+                                                          _token_hashes_batch)
+
+    texts = ["", "   ", "one", "one two three", "tab\tand\nnewline",
+             "héllo wörld ünïcode", "a " * 500 + "tail",
+             "x" * 3000, "mixed   runs\t\tof   whitespace ",
+             "short", "the quick brown fox " * 40]
+    batch = _token_hashes_batch(texts)
+    assert len(batch) == len(texts)
+    for t, b in zip(texts, batch):
+        assert np.array_equal(_token_hashes(t), b), repr(t)
+
+
+def test_shingle_batch_matches_scalar():
+    from rust_chunking_spark.operators.text_dedup import (
+        _shingle_hashes_batch, _shingles_from_tokens, _token_hashes)
+
+    toks = [_token_hashes(t) for t in
+            ["", "   ", "one two", "a b c d e", "a b c d e f g h",
+             "x " * 300, "unique tokens " * 50]]
+    got = _shingle_hashes_batch(toks, 5)
+    exp = [_shingles_from_tokens(t, 5) for t in toks]
+    assert all(np.array_equal(g, e) for g, e in zip(got, exp))
