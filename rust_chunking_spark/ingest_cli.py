@@ -24,7 +24,9 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--wal", required=True, help="WAL dir (epoch=NNNNNN/ segments)")
+    ap.add_argument("--wal", default=None,
+                    help="WAL dir (epoch=NNNNNN/ segments); optional when "
+                         "only maintenance flags are given")
     ap.add_argument("--lake", required=True, help="lake root directory")
     ap.add_argument("--mode", choices=("mor", "cow"), default="mor")
     ap.add_argument("--algo", default="super",
@@ -41,6 +43,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-store", action="store_true",
                     help="fold chunk-store delta files into one "
                          "deduplicated file after the replay")
+    ap.add_argument("--compact-lake", action="store_true",
+                    help="fold each bucket's files to one after the replay "
+                         "(bounds MoR read amplification)")
+    ap.add_argument("--rebucket", type=int, default=0, metavar="N",
+                    help="evolve the lake's bucket spec to N buckets "
+                         "(full rewrite; runs before any replay)")
+    ap.add_argument("--expire", type=int, default=0, metavar="KEEP",
+                    help="after everything else, expire lake + chunk-store "
+                         "snapshots keeping the last KEEP, reclaiming "
+                         "unreferenced data dirs")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] when no master is configured (0 = all)")
     args = ap.parse_args(argv)
@@ -58,8 +70,19 @@ def main(argv: list[str] | None = None) -> int:
                        AppendOnlyTable(f"{args.lake}/metrics"),
                        algo=args.algo, salt_lww=args.salt_lww,
                        collect_metrics=not args.steady)
+    if args.wal is None and not (args.rebucket or args.compact_lake
+                                 or args.compact_store or args.expire):
+        ap.error("--wal is required unless a maintenance flag "
+                 "(--rebucket/--compact-lake/--compact-store/--expire) "
+                 "is given")
     try:
-        if args.stream:
+        if args.rebucket:
+            old = lake.rebucket(spark, args.rebucket)
+            print(json.dumps({"rebucketed": {"from": old,
+                                             "to": lake.n_buckets}}))
+        if args.wal is None:
+            results = []
+        elif args.stream:
             from .streaming import drain_open_epochs, start_stream_ingest
 
             q = start_stream_ingest(spark, job, args.wal,
@@ -79,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
         job.flush()
         if args.compact_store:
             job.chunk_store.compact(spark)
+        if args.compact_lake:
+            lake.compact(spark)
+        if args.expire:
+            removed = (lake.expire_snapshots(keep_last=args.expire)
+                       + job.chunk_store.expire_snapshots(
+                           keep_last=args.expire))
+            print(json.dumps({"expired_data_dirs": removed}))
         for m in results:
             print(json.dumps({
                 "epoch": m.epoch, "seen": m.events_seen,

@@ -217,3 +217,39 @@ def test_stream_cli_drains_tail_epoch_without_success(spark, wal, tmp_path,
     rows = {r.url: r for r in
             lake.read(spark).filter(~F.col("deleted")).collect()}
     assert set(rows) == set(oracle)
+
+
+def test_cli_maintenance_flags(spark, wal, tmp_path, monkeypatch, capsys):
+    """--rebucket (maintenance-only invocation, no --wal), then replay with
+    --compact-store/--compact-lake/--expire: final state still matches the
+    oracle, the persisted bucket spec survives a stale-ctor reopen, and
+    expiry reclaims superseded data dirs."""
+    from rust_chunking_spark import ingest_cli
+    from rust_chunking_spark.engine.lake import MorBucketedLake
+
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(wal):
+        spark.createDataFrame([dict(e) for e in events]).write.mode(
+            "overwrite").parquet(f"{wal_dir}/epoch={ep:06d}")
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    lk_root = str(tmp_path / "lk")
+    assert ingest_cli.main(["--wal", wal_dir, "--lake", lk_root,
+                            "--buckets", "8", "--epochs", "0", "1",
+                            "--steady"]) == 0
+    assert ingest_cli.main(["--lake", lk_root, "--rebucket", "16"]) == 0
+    assert ingest_cli.main(["--wal", wal_dir, "--lake", lk_root, "--steady",
+                            "--compact-store", "--compact-lake",
+                            "--expire", "1"]) == 0
+    out = capsys.readouterr().out
+    assert '"rebucketed": {"from": 8, "to": 16}' in out
+    assert '"expired_data_dirs"' in out
+
+    lake = MorBucketedLake(f"{lk_root}/lake", n_buckets=8)  # stale ctor arg
+    assert lake.n_buckets == 16
+    assert lake.committed_epochs() == set(range(N_EPOCHS))
+    oracle = expected_final_state(wal)
+    rows = {r.url: r for r in
+            lake.read(spark).filter(~F.col("deleted")).collect()}
+    assert set(rows) == set(oracle)
+    for url, exp in oracle.items():
+        assert rows[url].text == exp["text"]
