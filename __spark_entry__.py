@@ -78,18 +78,20 @@ def _prefix_dup_candidates(d: DataFrame) -> DataFrame:
 
 
 #: SQL twin of _prefix_dup_candidates (DuckDB), as a CTE body producing
-#: (a, b, capped). Keep the two in sync.
-_PREFIX_DUP_CAND_SQL = """
+#: (a, b, capped); DUP_GROUP_CAP is interpolated so the one constant stays
+#: authoritative for both engines.
+_PREFIX_DUP_CAND_SQL = f"""
   keyed AS (SELECT doc_id, md5(substring(text, 1, 50)) AS h FROM documents),
   sized AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS g FROM keyed),
   cand AS (
     SELECT l.doc_id AS a, r.doc_id AS b, FALSE AS capped
     FROM sized l JOIN sized r USING (h)
-    WHERE l.g <= 64 AND l.doc_id < r.doc_id
+    WHERE l.g <= {DUP_GROUP_CAP} AND l.doc_id < r.doc_id
     UNION ALL
     SELECT m.a, s.doc_id AS b, TRUE AS capped
     FROM sized s
-    JOIN (SELECT h, min(doc_id) AS a FROM sized WHERE g > 64 GROUP BY h) m
+    JOIN (SELECT h, min(doc_id) AS a FROM sized
+          WHERE g > {DUP_GROUP_CAP} GROUP BY h) m
       USING (h)
     WHERE s.doc_id <> m.a)
 """

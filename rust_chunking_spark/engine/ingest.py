@@ -870,22 +870,25 @@ class CdcIngestJob:
         # rows (ADVICE r3 #2): COW merge files carry untouched rows of
         # rewritten buckets and MoR deltas carry rode-along no-op rows, so
         # a raw per-epoch count materially inflates the COW histogram vs
-        # observability mode's iu_urls semi-join. Each (url, content_fp)
-        # version is attributed to the FIRST epoch in the flush window that
-        # wrote it — carries (same url+fp re-written later) and no-ops
-        # (same fp as a prior in-window version) collapse onto the epoch
-        # that actually applied the content. Residual (documented): a
-        # version first written BEFORE this flush window and only
+        # observability mode's iu_urls semi-join. A row counts toward its
+        # epoch iff its content_fp DIFFERS from the url's previous in-window
+        # row (null-safe lag over epoch order) — carries and no-ops repeat
+        # the previous fp and collapse onto the epoch that applied the
+        # content, while a revert (A -> B -> A) still counts at its own
+        # epoch because B sits between (exactly the iu semantics; tombstones
+        # have null fp, so a re-insert after delete counts too). Residual
+        # (documented): a version applied BEFORE this flush window and only
         # carried/no-op'd inside it is attributed to its earliest in-window
         # epoch; whole-replay flushes (the steady-state shape) have no such
         # rows. One flush-time window shuffle, O(window rows), never
         # O(store). Buffered so flush_metrics writes them with the lineage.
         from pyspark.sql import Window
 
-        applied = (rows.withColumn(
-                       "__first", F.min("__ep").over(
-                           Window.partitionBy("url", "content_fp")))
-                   .filter(F.col("__ep") == F.col("__first")))
+        w = Window.partitionBy("url").orderBy("__ep")
+        applied = (rows.withColumn("__prev_fp",
+                                   F.lag("content_fp").over(w))
+                   .filter(~F.col("content_fp").eqNullSafe(
+                       F.col("__prev_fp"))))
         hist = (applied.select(F.explode("chunks").alias("c"), "__ep")
                 .groupBy(
                     F.col("__ep").alias("epoch"),

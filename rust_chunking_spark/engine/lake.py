@@ -41,9 +41,22 @@ class BucketedLake:
         # n_buckets=64 would otherwise silently mis-route every key. New
         # lakes record the ctor value at first commit; `rebucket()` is the
         # only way to change it.
-        persisted = self.current_snapshot().get("n_buckets")
+        snap = self.current_snapshot()
+        persisted = snap.get("n_buckets")
         if persisted is not None:
             self.n_buckets = int(persisted)
+        # Lake MODE is table metadata too: opening a COW lake through the
+        # MoR class (or vice versa) reads the wrong file sets — harmless
+        # for reads (empty result) but catastrophic for maintenance ops
+        # (a mismatched rebucket would commit an empty rewrite over a
+        # non-empty snapshot). Fail loudly instead.
+        pmode = snap.get("mor")
+        mine = bool(getattr(self, "MOR", False))
+        if pmode is not None and bool(pmode) != mine:
+            raise ValueError(
+                f"{path} is a {'MoR' if pmode else 'COW'} lake; open it "
+                f"with {'MorBucketedLake' if pmode else 'BucketedLake'} "
+                f"(--mode {'mor' if pmode else 'cow'})")
 
     # ------------------------------------------------------------- snapshots
 
@@ -65,7 +78,9 @@ class BucketedLake:
         return set(self.current_snapshot()["committed_epochs"])
 
     def _commit(self, snap: dict) -> None:
-        snap["n_buckets"] = self.n_buckets   # bucket spec rides every commit
+        # bucket spec + lake mode are table metadata, stamped on every commit
+        snap["n_buckets"] = self.n_buckets
+        snap["mor"] = bool(getattr(self, "MOR", False))
         name = f"v{snap['version']:08d}.json"
         with open(os.path.join(self.path, "snapshots", name), "w") as f:
             json.dump(snap, f)
@@ -523,6 +538,19 @@ class MorBucketedLake(BucketedLake):
 
     # ----------------------------------------------------------- maintenance
 
+    @staticmethod
+    def _fold_live(cur: DataFrame, meta: DataFrame) -> DataFrame:
+        """Live wide content rows for a rewrite (compact/rebucket): current
+        reconstructed rows keyed back to their CONTENT version keys
+        (warc_ts/lsn = the pointer target) so meta pointers stay valid."""
+        return (cur.filter(~F.col("deleted"))
+                .join(meta.select("url", "content_ts", "content_lsn"),
+                      "url", "inner")
+                .select("url",
+                        F.col("content_ts").alias("warc_ts"),
+                        F.col("content_lsn").alias("lsn"),
+                        "html", "text", "lang", "content_fp", "chunks"))
+
     def compact(self, spark: SparkSession, target_files_per_bucket: int = 1
                 ) -> int:
         """Fold a bucket's wide deltas into one file of live content rows
@@ -536,13 +564,7 @@ class MorBucketedLake(BucketedLake):
             return 0
         cur = self._read_snapshot(spark, snap, buckets=over)
         meta = self.read_meta(spark, buckets=over)
-        live = (cur.filter(~F.col("deleted"))
-                .join(meta.select("url", "content_ts", "content_lsn"),
-                      "url", "inner")
-                .select("url",
-                        F.col("content_ts").alias("warc_ts"),
-                        F.col("content_lsn").alias("lsn"),
-                        "html", "text", "lang", "content_fp", "chunks"))
+        live = self._fold_live(cur, meta)
         token = f"compact-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, "data", f"delta-{token}")
         (live.withColumn("__bucket", self.bucket_expr())
@@ -576,13 +598,7 @@ class MorBucketedLake(BucketedLake):
         new_files: dict[str, list[str]] = {}
         new_meta: dict[str, list[str]] = {}
         if cur is not None and meta is not None:
-            live = (cur.filter(~F.col("deleted"))
-                    .join(meta.select("url", "content_ts", "content_lsn"),
-                          "url", "inner")
-                    .select("url",
-                            F.col("content_ts").alias("warc_ts"),
-                            F.col("content_lsn").alias("lsn"),
-                            "html", "text", "lang", "content_fp", "chunks"))
+            live = self._fold_live(cur, meta)
             wide_dir = os.path.join(self.path, "data", f"delta-{token}")
             (live.withColumn("__bucket", self.bucket_expr())
              .repartition(new_n, "__bucket")

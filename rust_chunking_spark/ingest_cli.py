@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[N] when no master is configured (0 = all)")
     args = ap.parse_args(argv)
+    if args.wal is None and not (args.rebucket or args.compact_lake
+                                 or args.compact_store or args.expire):
+        # validate BEFORE any side effect (session boot, lake dir creation)
+        ap.error("--wal is required unless a maintenance flag "
+                 "(--rebucket/--compact-lake/--compact-store/--expire) "
+                 "is given")
 
     from .engine import BucketedLake, CdcIngestJob, ChunkStore, MorBucketedLake
     from .engine.lake import AppendOnlyTable
@@ -70,11 +76,6 @@ def main(argv: list[str] | None = None) -> int:
                        AppendOnlyTable(f"{args.lake}/metrics"),
                        algo=args.algo, salt_lww=args.salt_lww,
                        collect_metrics=not args.steady)
-    if args.wal is None and not (args.rebucket or args.compact_lake
-                                 or args.compact_store or args.expire):
-        ap.error("--wal is required unless a maintenance flag "
-                 "(--rebucket/--compact-lake/--compact-store/--expire) "
-                 "is given")
     try:
         if args.rebucket:
             old = lake.rebucket(spark, args.rebucket)

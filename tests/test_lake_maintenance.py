@@ -139,3 +139,31 @@ def test_rebucket_mid_replay_both_modes(spark, tmp_path):
         # old data dirs become unreferenced and are GC'd by expire
         lake2.expire_snapshots(keep_last=1)
         assert _state(spark, lake2) == _state(spark, baseline)
+
+
+def test_lake_mode_is_persisted_metadata(spark, tmp_path):
+    """Opening a COW lake through the MoR class (or vice versa) must fail
+    loudly: mode is table metadata like the bucket spec. A mismatched handle
+    used to read empty — and a mismatched rebucket would have committed an
+    empty rewrite over a non-empty snapshot (code-review r4 finding #1)."""
+    import pytest as _pytest
+
+    from rust_chunking_spark.engine.lake import MorBucketedLake
+
+    lake = _replayed(spark, tmp_path)           # COW with commits
+    with _pytest.raises(ValueError, match="COW lake"):
+        MorBucketedLake(lake.path)
+
+    mor = MorBucketedLake(str(tmp_path / "mor"), n_buckets=4)
+    mor.merge_delta(
+        spark.createDataFrame(
+            [], "url string, warc_ts timestamp, lsn long, html binary, "
+                "text string, lang string, content_fp binary, "
+                "chunks array<struct<hash:binary,len:long>>"),
+        spark.createDataFrame(
+            [], "url string, warc_ts timestamp, lsn long, "
+                "content_ts timestamp, content_lsn long, "
+                "content_fp binary, deleted boolean"),
+        [], 0)
+    with _pytest.raises(ValueError, match="MoR lake"):
+        BucketedLake(str(tmp_path / "mor"))

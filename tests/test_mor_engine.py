@@ -331,3 +331,49 @@ def test_chunk_store_expire_collects_compacted_orphans(spark, wal, tmp_path):
     assert after == before
     assert store.committed_epochs() == set(range(N_EPOCHS))
     assert store.props().get("deduped") is True
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_flush_histogram_counts_reverted_content(spark, tmp_path, mode):
+    """A revert (content A -> B -> A across three epochs) is an APPLIED
+    update in its own epoch; the steady-state flush histogram must count it
+    there — fp-collapsing across the whole window would attribute it to the
+    first epoch (code-review r4 finding #2). No-op re-crawls (same fp as
+    the url's previous version) must still be excluded. Exact parity with
+    observability mode is the oracle."""
+    import datetime as dt
+
+    from rust_chunking_spark.engine.lake import BucketedLake
+
+    t = lambda m: dt.datetime(2026, 2, 1) + dt.timedelta(minutes=m)
+    A = b"<html>content A body with some bytes</html>" * 8
+    B = b"<html>content B entirely different !</html>" * 8
+    Z = b"<html>steady content z</html>" * 8
+    epochs = [
+        [dict(url="u1", warc_ts=t(0), lsn=1, op="I", html=A, text="a", lang="en"),
+         dict(url="u2", warc_ts=t(1), lsn=2, op="I", html=Z, text="z", lang="en")],
+        [dict(url="u1", warc_ts=t(10), lsn=3, op="U", html=B, text="b", lang="en")],
+        [dict(url="u2", warc_ts=t(11), lsn=4, op="U", html=Z, text="z", lang="en")],  # noop only
+        [dict(url="u1", warc_ts=t(20), lsn=5, op="U", html=A, text="a", lang="en")],  # revert
+    ]
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(epochs):
+        spark.createDataFrame(events).write.mode("overwrite").parquet(
+            f"{wal_dir}/epoch={ep:06d}")
+
+    lake_cls = MorBucketedLake if mode == "mor" else BucketedLake
+    rows = {}
+    for tag, collect in (("obs", True), ("steady", False)):
+        job = CdcIngestJob(
+            spark, lake_cls(f"{tmp_path}/{mode}-{tag}/lake", n_buckets=4),
+            AppendOnlyTable(f"{tmp_path}/{mode}-{tag}/chunks"),
+            AppendOnlyTable(f"{tmp_path}/{mode}-{tag}/metrics"),
+            collect_metrics=collect)
+        job.run(wal_dir, [0, 1, 2, 3])
+        job.flush()
+        rows[tag] = _metric_rows(spark, f"{tmp_path}/{mode}-{tag}/metrics")
+    assert rows["steady"] == rows["obs"]
+    # revert epoch (3) has histogram mass; noop-only epoch (2) has none
+    hist_epochs = {e for e, d, _, _ in rows["steady"]
+                   if d == "chunk_len_hist"}
+    assert hist_epochs == {0, 1, 3}
