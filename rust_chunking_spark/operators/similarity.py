@@ -129,7 +129,8 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                  n_cells: int = 8, n_probe: int = 2, dim: int = 64,
                  seed: int = 11, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 probe_id_col: str = "vec_id") -> DataFrame:
+                 probe_id_col: str = "vec_id",
+                 broadcast_probes: bool = True) -> DataFrame:
     """Approximate top-k PER PROBE via IVF: exact cosine restricted, for
     each probe, to its n_probe nearest coarse-quantizer cells. Cells
     partition the space (every vector lands somewhere); n_probe trades
@@ -142,8 +143,10 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
     the corpus side shuffles (or arrives bucketed) by cell, the probe side
     carries only (id, vector, cell) and is broadcast — followed by a
     per-probe window top-k. Works identically for 1 or 10^6 probes; at
-    10^6+ probes drop the broadcast hint and it is a plain skew-safe
-    shuffle join. Output: (probe_id, {id_col}, sim)."""
+    10^6+ probes pass ``broadcast_probes=False`` (ADVICE r4 #4: the hint is
+    hard, so the documented large-batch mode needs a reachable escape
+    hatch) and it is a plain skew-safe shuffle join under AQE.
+    Output: (probe_id, {id_col}, sim)."""
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
     c_norms = (cents * cents).sum(axis=1)
@@ -174,7 +177,7 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                          F.col(vec_col).alias("__probe"),
                          F.explode(_pcells(F.col(vec_col))).alias("ivf_cell"))
     cells = ivf_cells(df, n_cells, dim, seed, vec_col)
-    j = (cells.join(F.broadcast(pc), "ivf_cell")
+    j = (cells.join(F.broadcast(pc) if broadcast_probes else pc, "ivf_cell")
          .select("probe_id", F.col(id_col),
                  F.round(_cosine(vec_col, "__probe"), 4).alias("sim")))
     return _topk_per_probe(j, k, id_col)
@@ -183,15 +186,18 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
 def lsh_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                  n_planes: int = 12, dim: int = 64, seed: int = 7,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 probe_id_col: str = "vec_id") -> DataFrame:
+                 probe_id_col: str = "vec_id",
+                 broadcast_probes: bool = True) -> DataFrame:
     """Approximate top-k PER PROBE: exact cosine restricted to each probe's
     LSH bucket. Batched probe set, same join + window shape as
-    ivf_ann_topk. Output: (probe_id, {id_col}, sim)."""
+    ivf_ann_topk (including the ``broadcast_probes=False`` large-batch
+    escape hatch). Output: (probe_id, {id_col}, sim)."""
     b_df = hyperplane_lsh_buckets(df, n_planes, dim, seed, vec_col)
     b_probe = hyperplane_lsh_buckets(probe_df, n_planes, dim, seed, vec_col)
     probe = b_probe.select(F.col(probe_id_col).alias("probe_id"),
                            F.col(vec_col).alias("__probe"), "lsh_bucket")
-    j = (b_df.join(F.broadcast(probe), "lsh_bucket")
+    j = (b_df.join(F.broadcast(probe) if broadcast_probes else probe,
+                   "lsh_bucket")
          .select("probe_id", F.col(id_col),
                  F.round(_cosine(vec_col, "__probe"), 4).alias("sim")))
     return _topk_per_probe(j, k, id_col)

@@ -109,6 +109,64 @@ def test_epoch_apply_has_bounded_wide_shuffles(spark, small_job):
     keys.unpersist()
 
 
+def _analyzed(df) -> str:
+    """Analyzed logical plan — the only place a broadcast HINT is visible
+    as such (the optimizer folds ResolvedHint into the join node, and a
+    small relation may be auto-broadcast from stats with no hint at all,
+    so physical-plan checks can't distinguish 'hinted' from 'chosen')."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _wide_cand_corpus(spark, tmp_path):
+    """8 prefix groups x 5 docs: 80 exact candidate pairs — 'wide' relative
+    to a patched-down broadcast limit."""
+    docs = []
+    for g in range(8):
+        p = f"group {g:02d} shared boilerplate prefix padding padd "  # 50 ch
+        for i in range(5):
+            docs.append({"doc_id": 10 * g + i,
+                         "text": p + f"tail {i} alpha beta gamma delta"})
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet")
+    return sf
+
+
+def test_ngram_broadcast_guard_drops_hint_above_limit(spark, tmp_path,
+                                                      monkeypatch):
+    """VERDICT r4 'what's wrong' #3: the ngram query's candidate/id
+    broadcasts must be guarded on the candidate count — above the limit the
+    hard hint disappears from the plan (AQE decides), and the results are
+    identical either way."""
+    import __spark_entry__ as m
+
+    sf = _wide_cand_corpus(spark, tmp_path)
+    q = m.queries()["ngram_jaccard_pairs"]
+
+    hinted = q(spark, sf)
+    assert "ResolvedHint" in _analyzed(hinted)          # default limit: hint
+    rows_hinted = [tuple(r) for r in hinted.collect()]
+
+    monkeypatch.setattr(m, "BCAST_ROW_LIMIT", 10)       # 80 candidates > 10
+    unhinted = q(spark, sf)
+    assert "ResolvedHint" not in _analyzed(unhinted)    # hint dropped
+    assert [tuple(r) for r in unhinted.collect()] == rows_hinted
+
+
+def test_top_customers_broadcast_guard(spark, monkeypatch):
+    """The customer dim broadcast is count-guarded (VERDICT r4 minor #4):
+    hinted while it fits, plain join (AQE's call) above the limit."""
+    import __spark_entry__ as m
+
+    q = m.queries()["top_customers"]
+    assert "ResolvedHint" in _analyzed(q(spark, SF))
+    rows = [tuple(r) for r in q(spark, SF).collect()]
+    monkeypatch.setattr(m, "BCAST_ROW_LIMIT", 1)
+    df = q(spark, SF)
+    assert "ResolvedHint" not in _analyzed(df)
+    assert [tuple(r) for r in df.collect()] == rows
+
+
 def test_estimate_scan_splits_mirrors_file_partitioning(spark, tmp_path):
     """estimate_scan_splits (the guard for compute-balancing repartitions)
     tracks Spark's FilePartitions math: one small file -> 1 split (spread
