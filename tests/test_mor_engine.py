@@ -334,6 +334,67 @@ def test_chunk_store_expire_collects_compacted_orphans(spark, wal, tmp_path):
 
 
 @pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_flush_histogram_parity_on_resumed_replay(spark, tmp_path, mode):
+    """ADVICE r4 #1: a RESUMED replay (epochs 0-1 flushed by one job, 2-3
+    by a second) must produce the same per-epoch flush histograms as
+    observability mode. The second window's first epoch carries/no-ops
+    pre-window content (COW carry rows, MoR rode-alongs, a literal no-op
+    re-crawl); without the epoch -1 pre-window seed those rows inflate
+    epoch 2. Includes a post-resume revert and a same-fp re-crawl so the
+    seed must carry REAL fps, not just url presence."""
+    import datetime as dt
+
+    from rust_chunking_spark.engine.lake import BucketedLake
+
+    t = lambda m: dt.datetime(2026, 3, 1) + dt.timedelta(minutes=m)
+    A = b"<html>first content body AAAA</html>" * 8
+    B = b"<html>second content body BB</html>" * 8
+    Z = b"<html>steady content zzzz</html>" * 8
+    epochs = [
+        # window 1
+        [dict(url="u1", warc_ts=t(0), lsn=1, op="I", html=A, text="a", lang="en"),
+         dict(url="u2", warc_ts=t(1), lsn=2, op="I", html=Z, text="z", lang="en")],
+        [dict(url="u1", warc_ts=t(10), lsn=3, op="U", html=B, text="b", lang="en")],
+        # window 2 (resume): u2 re-crawled with UNCHANGED content (no-op —
+        # must not count), u1 untouched (carry in u2's bucket rewrite)
+        [dict(url="u2", warc_ts=t(20), lsn=4, op="U", html=Z, text="z", lang="en")],
+        # window 2: revert u1 to pre-window content A (must count: B is
+        # its previous fp, which only the seeded lag can know)
+        [dict(url="u1", warc_ts=t(30), lsn=5, op="U", html=A, text="a", lang="en")],
+    ]
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(epochs):
+        spark.createDataFrame(events).write.mode("overwrite").parquet(
+            f"{wal_dir}/epoch={ep:06d}")
+
+    lake_cls = MorBucketedLake if mode == "mor" else BucketedLake
+    obs = CdcIngestJob(
+        spark, lake_cls(f"{tmp_path}/obs/lake", n_buckets=2),
+        AppendOnlyTable(f"{tmp_path}/obs/chunks"),
+        AppendOnlyTable(f"{tmp_path}/obs/metrics"), collect_metrics=True)
+    obs.run(wal_dir, [0, 1, 2, 3])
+
+    mk = lambda: CdcIngestJob(
+        spark, lake_cls(f"{tmp_path}/ss/lake", n_buckets=2),
+        AppendOnlyTable(f"{tmp_path}/ss/chunks"),
+        AppendOnlyTable(f"{tmp_path}/ss/metrics"), collect_metrics=False)
+    j1 = mk()
+    j1.run(wal_dir, [0, 1])
+    j1.flush()
+    j2 = mk()                                   # resume in a fresh process
+    j2.run(wal_dir, [2, 3])
+    j2.flush()
+
+    obs_h = [r for r in _metric_rows(spark, f"{tmp_path}/obs/metrics")
+             if r[1] == "chunk_len_hist"]
+    ss_h = [r for r in _metric_rows(spark, f"{tmp_path}/ss/metrics")
+            if r[1] == "chunk_len_hist"]
+    assert ss_h == obs_h
+    # and the histogram epochs are exactly the content-applying ones
+    assert {e for e, *_ in ss_h} == {0, 1, 3}
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
 def test_flush_histogram_counts_reverted_content(spark, tmp_path, mode):
     """A revert (content A -> B -> A across three epochs) is an APPLIED
     update in its own epoch; the steady-state flush histogram must count it
