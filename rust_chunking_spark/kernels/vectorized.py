@@ -611,26 +611,8 @@ def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
         runstart[notG_pos] = notG_pos + 1
         np.maximum.accumulate(runstart, out=runstart)
     runlen = np.arange(1, K + 1) - runstart
-    cc_mask = ne_isG & (runlen >= sequence_length)
-    cutcand = np.flatnonzero(cc_mask)
+    cutcand = np.flatnonzero(ne_isG & (runlen >= sequence_length))
     cand_rs = runstart[cutcand]                   # global run start per candidate
-    # Rank arrays turn every per-chunk binary search into one O(1) array
-    # lookup (np.searchsorted costs ~1us of call overhead per chunk):
-    # X_LT[v] = #{x in X : x < v} == searchsorted(X, v), and the "right"
-    # side at v is X_LT[v + 1] for integer-valued X. Each is one int32
-    # cumsum over a mask already in hand — no indicator scatter needed:
-    # ne_idx = flatnonzero(d != 0) + 1, so #{ne < v} = cumsum(d != 0)[v-2].
-    NE_LT = np.zeros(n + 2, dtype=np.int32)
-    if n >= 2:
-        np.cumsum(d != 0, dtype=np.int32, out=NE_LT[2:n + 1])
-        NE_LT[n + 1] = NE_LT[n]
-    CC_LT = np.zeros(K + 2, dtype=np.int32)
-    NG_LT = np.zeros(K + 2, dtype=np.int32)
-    if K:
-        np.cumsum(cc_mask, dtype=np.int32, out=CC_LT[1:K + 1])
-        CC_LT[K + 1] = CC_LT[K]
-        np.cumsum(~ne_isG, dtype=np.int32, out=NG_LT[1:K + 1])
-        NG_LT[K + 1] = NG_LT[K]
     L = sequence_length
     out = []
     cs = 0
@@ -646,13 +628,13 @@ def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
             i_hi = min(n, cs + max_size) - 1   # last comparison index
             if i_lo > i_hi:
                 break
-            a = int(NE_LT[i_lo])
-            z = int(NE_LT[i_hi + 1])
+            a = int(np.searchsorted(ne_idx, i_lo))
+            z = int(np.searchsorted(ne_idx, i_hi, side="right"))
             if a >= z:
                 position = i_hi + 1
                 break
             # --- segment-local cut via global candidates
-            c = int(CC_LT[a])
+            c = int(np.searchsorted(cutcand, a))
             cut_k = K  # sentinel: none
             if c < len(cutcand):
                 k0 = int(cutcand[c])
@@ -662,16 +644,16 @@ def seq_chunks(buf, min_size: int = 4096, max_size: int = 16384,
                     # run straddles the segment start: first valid local cut
                     # is event a+L-1 if the run reaches it, else the first
                     # candidate of a later run
-                    j = int(NG_LT[k0])
+                    j = int(np.searchsorted(notG_pos, k0))
                     re = int(notG_pos[j]) if j < len(notG_pos) else K
                     if a + L - 1 < re:
                         cut_k = a + L - 1
                     else:
-                        c2 = int(CC_LT[re])
+                        c2 = int(np.searchsorted(cutcand, re))
                         if c2 < len(cutcand):
                             cut_k = int(cutcand[c2])
             # --- segment-local skip trigger
-            j = int(NG_LT[a])
+            j = int(np.searchsorted(notG_pos, a))
             skip_k = (int(notG_pos[j + skip_trigger - 1])
                       if j + skip_trigger - 1 < len(notG_pos) else K)
             if cut_k < min(skip_k, z):
