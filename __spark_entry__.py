@@ -548,6 +548,39 @@ def _q_doc_len_quantiles(spark, sf_dir):
         .orderBy("lang"))
 
 
+#: headline sampling rate — dyadic (2^-2) so Spark's and DuckDB's double
+#: arithmetic in ceil(n * frac) cannot diverge by an ulp
+SAMPLE_FRAC = 0.25
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Value-deterministic Bernoulli corpus sample (operators/sampling.py:
+    hash_sample): keep docs whose salted-md5 prefix falls under a fixed
+    threshold. A pure row-local predicate — no shuffle, fused into the
+    scan at any scale, and the selected set is independent of partitioning
+    (sampling by value, so re-runs/resumes/speculative retries agree).
+    The 100 TB down-sampling path."""
+    from rust_chunking_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, SAMPLE_FRAC, "doc_id").select(
+        "doc_id", "lang", "source")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-rate stratified sample (operators/sampling.py:
+    stratified_sample): per language, the ceil(frac * n) docs with the
+    smallest salted hash — the curation op that pins a corpus's language
+    mix. One shuffle on the stratum key; at 100x pre-thin with
+    hash_sample or accept proportional-in-expectation (docstring)."""
+    from rust_chunking_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", SAMPLE_FRAC, "doc_id").select(
+        "doc_id", "lang",
+        F.col("rank_in_stratum").cast("long").alias("rank_in_stratum"))
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -744,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "chunk_stats_all": _q_chunk_stats,
+        "hash_sample_docs": _q_hash_sample,
+        "stratified_sample_docs": _q_stratified_sample,
     })
     return q
 
@@ -1053,4 +1088,11 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.95), 3) AS p95
             FROM documents GROUP BY lang ORDER BY lang""",
     })
+    from rust_chunking_spark.operators.sampling import (hash_sample_sql,
+                                                        stratified_sample_sql)
+    sql["hash_sample_docs"] = hash_sample_sql(
+        "documents", SAMPLE_FRAC, "doc_id", select="doc_id, lang, source")
+    sql["stratified_sample_docs"] = stratified_sample_sql(
+        "documents", "lang", SAMPLE_FRAC, "doc_id",
+        select="doc_id, lang")
     return sql

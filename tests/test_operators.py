@@ -409,3 +409,52 @@ def test_multi_probe_ann_matches_per_probe_brute_force(spark):
                       key=lambda t: (-t[0], t[1]))
         assert [(s, v) for s, v in sims] == \
                [(r.sim, r.vec_id) for r in by_probe[3]]
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    """The 100 TB property: hash_sample selects by VALUE, so the same rows
+    come back regardless of partitioning (resume / speculative retry /
+    repartition all agree), and the rate lands near the target."""
+    from rust_chunking_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 4000).withColumn("doc_id", F.col("id"))
+    a = sorted(r.doc_id for r in hash_sample(df, 0.25, "doc_id").collect())
+    b = sorted(r.doc_id for r in
+               hash_sample(df.repartition(17), 0.25, "doc_id").collect())
+    assert a == b
+    assert 0.25 * 0.8 < len(a) / 4000 < 0.25 * 1.2
+    # different seed -> different (deterministic) selection
+    c = sorted(r.doc_id for r in
+               hash_sample(df, 0.25, "doc_id", seed="other").collect())
+    assert c != a
+
+
+def test_stratified_sample_exact_rates_and_ranks(spark):
+    """Per-stratum counts are exactly ceil(frac * n) and ranks are a
+    1..k prefix inside every stratum."""
+    import math
+
+    from rust_chunking_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    totals = {"big": 900, "small": 100}
+    out = stratified_sample(df, "lang", 0.1, "doc_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, []).append(r.rank_in_stratum)
+    for lang, n in totals.items():
+        want = math.ceil(n * 0.1)
+        assert sorted(got[lang]) == list(range(1, want + 1)), lang
+
+
+def test_sampling_fraction_validation():
+    import pytest as _pytest
+
+    from rust_chunking_spark.operators.sampling import (hash_threshold,
+                                                        stratified_sample)
+
+    with _pytest.raises(ValueError):
+        hash_threshold(1.5)
+    with _pytest.raises(ValueError):
+        stratified_sample(None, "lang", -0.1, "doc_id")

@@ -190,3 +190,13 @@ def test_estimate_scan_splits_mirrors_file_partitioning(spark, tmp_path):
     assert actual // 2 <= est_many <= actual * 2, (est_many, actual)
 
     assert estimate_scan_splits(spark.range(10)) == 0
+
+
+def test_hash_sample_is_shuffle_free_scan_filter(spark):
+    """hash_sample must stay a row-local predicate: zero exchanges, so at
+    100 TB it fuses into the scan with no shuffle anywhere."""
+    from rust_chunking_spark.operators.sampling import hash_sample
+
+    df = hash_sample(spark.read.parquet(f"{SF}/documents.parquet"),
+                     0.25, "doc_id").select("doc_id", "lang")
+    assert count_exchanges(df) == 0
