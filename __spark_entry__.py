@@ -608,6 +608,42 @@ def _q_exact_dup_pairs(spark, sf_dir):
     return _prefix_dup_candidates(d).orderBy("a", "b")
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: connected components over the prefix-hash
+    candidate pairs (operators/text_dedup.py:connected_components) — the
+    step after pair generation in every dedup pipeline: pick one canonical
+    doc per cluster, drop the rest. cluster_id = min doc_id reachable;
+    cluster_size counts members. Skinny min-label propagation (two long
+    columns per round, O(log diameter) rounds; dedup graphs are cliques +
+    capped stars, diameter <= 2). Oracle: DuckDB recursive CTE computes
+    the same transitive closure (see oracle_sql)."""
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    edges = _prefix_dup_candidates(d).select("a", "b")
+    cc = connected_components(edges, "a", "b")
+    w = Window.partitionBy("cluster_id")
+    return (cc.select(F.col("node").alias("doc_id"), "cluster_id")
+            .withColumn("cluster_size", F.count("*").over(w))
+            .orderBy("cluster_id", "doc_id"))
+
+
+_DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE
+    {_PREFIX_DUP_CAND_SQL.strip().rstrip()},
+    edges AS (SELECT a AS s, b AS d FROM cand
+              UNION SELECT b, a FROM cand),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    labs AS (SELECT node AS doc_id, min(lab) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labs ORDER BY cluster_id, doc_id"""
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs for a bounded PROBE SET (the first
     128 vectors) against the whole table — probe x corpus is the linear,
@@ -779,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats_all": _q_chunk_stats,
         "hash_sample_docs": _q_hash_sample,
         "stratified_sample_docs": _q_stratified_sample,
+        "dup_clusters": _q_dup_clusters,
     })
     return q
 
@@ -1095,4 +1132,5 @@ def oracle_sql() -> dict[str, str]:
     sql["stratified_sample_docs"] = stratified_sample_sql(
         "documents", "lang", SAMPLE_FRAC, "doc_id",
         select="doc_id, lang")
+    sql["dup_clusters"] = _DUP_CLUSTERS_SQL
     return sql

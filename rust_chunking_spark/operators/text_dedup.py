@@ -346,3 +346,53 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("a", "b", "est_jaccard"))
     return verified
+
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over an undirected
+    edge list by iterative min-label propagation. Returns one row per node
+    that appears in an edge: (node, cluster_id) with cluster_id = the
+    smallest node id reachable from it.
+
+    Each iteration is label[n] <- min(label[n], min over neighbors'
+    labels): one join of the symmetric edge list against the skinny
+    (node, label) frame plus a min-groupBy — two shuffles of O(E) / O(V)
+    SKINNY rows (two long columns; document text never enters). Iterations
+    needed = graph diameter in rounds ~ O(log D); dedup graphs from hash
+    groups are cliques and representative stars (diameter <= 2 after the
+    DUP_GROUP_CAP star fallback), so 2-3 rounds converge. Convergence is
+    detected with a one-row changed-count aggregate per round (a skinny
+    driver action, same budget class as the engine's per-epoch LWW
+    collect). At true web scale (components with large diameter, e.g.
+    chained near-dup edges) swap the propagation loop for the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — same per-round shuffle shape, provably
+    O(log^2) rounds; this entry point keeps the simple loop because dedup
+    candidate graphs are shallow by construction.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning silently-wrong labels.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .unionByName(edges.select(F.col(dst).alias("s"),
+                                   F.col(src).alias("d"))))
+    labels = (e.select(F.col("s").alias("node")).distinct()
+              .withColumn("lab", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (e.join(labels.withColumnRenamed("node", "d"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.min("lab").alias("nlab")))
+        merged = (labels.join(neigh, "node", "left")
+                  .select("node",
+                          F.least("lab", F.coalesce("nlab", "lab"))
+                          .alias("lab"),
+                          (F.col("nlab") < F.col("lab")).alias("chg"))
+                  .localCheckpoint())   # cut the lineage per round
+        changed = merged.filter("chg").count()
+        labels = merged.select("node", "lab")
+        if changed == 0:
+            return labels.select(F.col("node"),
+                                 F.col("lab").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} "
+                       f"rounds (diameter too large — use star algorithm)")

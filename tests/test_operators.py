@@ -458,3 +458,30 @@ def test_sampling_fraction_validation():
         hash_threshold(1.5)
     with _pytest.raises(ValueError):
         stratified_sample(None, "lang", -0.1, "doc_id")
+
+
+def test_connected_components_chains_and_cliques(spark):
+    """Multi-round convergence: a 6-node chain (diameter forces several
+    min-propagation rounds), a triangle, an isolated edge, plus ids far
+    apart — every node must get the component's min id."""
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),        # chain
+             (10, 11), (11, 12), (10, 12),                   # triangle
+             (100, 200)]                                     # lone edge
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.cluster_id
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 100: 100, 200: 100}
+
+
+def test_connected_components_max_iter_raises(spark):
+    import pytest as _pytest
+
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
