@@ -475,16 +475,19 @@ def main():
     # uses EQUAL draw counts per side: stream best-of-eff_k vs the first
     # eff_k batch samples.
     with sect("streaming"):
-        if t4 and samples[n4] and fits("streaming", eff_k * 1.25 * t4):
+        sk = eff_k
+        while sk > 1 and t4 and elapsed() + sk * 1.25 * t4 > budget - margin:
+            sk -= 1   # degrade draws before skipping; ratio stays equal-draw
+        if t4 and samples[n4] and fits("streaming", sk * 1.25 * t4):
             stream_best = max(replay_at(n4, stream=True)["events_per_sec"]
-                              for _ in range(eff_k))
-            batch_ref = max(samples[n4][:eff_k])
+                              for _ in range(sk))
+            batch_ref = max(samples[n4][:sk])
             result["streaming"] = {
                 "cores": n4,
                 "tput_stream": round(stream_best, 1),
                 "tput_batch": round(batch_ref, 1),
                 "stream_over_batch": round(stream_best / batch_ref, 3),
-                "draws_per_side": eff_k,
+                "draws_per_side": sk,
             }
 
     # Secondary 2N->8N pair (VERDICT r3 #7): quantifies where this
@@ -496,8 +499,14 @@ def main():
     with sect("scaling_2to8"):
         n2, n8 = 2 * SCALE_N, 8 * SCALE_N
         k2 = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "2"))
-        est = k2 * ((t1 or 2400) / 1.8 + (t4 or 600) / 1.4) + 30
-        if fits("scaling_2to8", est):
+        pair_est = (t1 or 2400) / 1.8 + (t4 or 600) / 1.4
+        # degrade before skipping: fewer pairs is weaker evidence than the
+        # full k2, but a 1-pair ratio in the artifact beats a skip record
+        # (VERDICT r4 next #3: the secondary evidence must reach the JSON);
+        # the trim is sized silently, only the final infeasible case records
+        while k2 > 1 and elapsed() + k2 * pair_est + 30 > budget - margin:
+            k2 -= 1
+        if fits("scaling_2to8", k2 * pair_est + 30):
             samples2: dict[int, list] = {n2: [], n8: []}
             for c in [n2, n8] * k2:
                 samples2[c].append(round(replay_at(c)["events_per_sec"], 1))
@@ -518,13 +527,17 @@ def main():
     with sect("lake_compare"):
         mode = result.get("lake_mode", "mor")
         other = "cow" if mode == "mor" else "mor"
-        est = eff_k * (3.4 if other == "cow" else 2.2) * (t4 or 600) / 2
-        if t4 and samples[n4] and fits("lake_compare", est):
+        draw_est = (3.4 if other == "cow" else 2.2) * (t4 or 600) / 2
+        ck = eff_k
+        while ck > 1 and elapsed() + ck * draw_est > budget - margin:
+            ck -= 1   # degrade to fewer draws before skipping outright
+        if t4 and samples[n4] and fits("lake_compare", ck * draw_est):
             cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
-                           for _ in range(eff_k))
+                           for _ in range(ck))
             result["lake_compare"] = {
                 f"{mode}_{n4}c": max(samples[n4]),
                 f"{other}_{n4}c": round(cmp_best, 1),
+                "draws_other": ck, "draws_default": eff_k,
             }
 
     with sect("kernels_pass2"):
