@@ -924,7 +924,13 @@ def _ann_ivf_oracle_sql(n_cells: int = 8, n_probe: int = 2,
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["ann_lsh_topk"] = _ann_lsh_oracle_sql()
-    sql["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+    try:
+        # the ONE oracle whose construction does I/O (it trains the IVF
+        # quantizer from the sf0.01 parquet): a missing testdata dir or
+        # duckdb must cost only this entry, not the whole oracle dict
+        sql["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+    except Exception:
+        pass   # driver records ann_ivf_topk as rows-only in that env
     # chunk coverage invariant: sum of chunk lens == utf-8 byte length
     for algo in CHUNK_PARAMS:
         sql[f"chunk_cov_{algo}"] = (

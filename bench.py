@@ -464,8 +464,14 @@ def main():
             result["scaling"]["tput_full"] = round(r["events_per_sec"], 1)
             result["scaling"]["cores_full"] = CPUS
 
+    # noise factor for the flat (non-replay) section estimates, so those
+    # sections honor the docstring's measured-cost contract too: the
+    # numpy-only kernel pass is ~5 s quiet on this box and slows with the
+    # same host windows that slow everything else
+    noise = min(4.0, max(1.0, result["section_seconds"]["kernels_pass1"] / 5.0))
+
     with sect("queries"):
-        if fits("queries", 300.0):
+        if fits("queries", 300.0 * noise):
             result["queries"] = query_bench(CPUS)
 
     # streaming leg at the 4N level (VERDICT r3 missing #4): same WAL
@@ -541,14 +547,16 @@ def main():
             }
 
     with sect("kernels_pass2"):
-        if fits("kernels_pass2", 90.0):
+        # pass 2 repeats pass 1's exact work: its measured time IS the estimate
+        if fits("kernels_pass2",
+                1.3 * result["section_seconds"]["kernels_pass1"]):
             k2nd = kernel_bench()
             result["kernels_mb_s"] = {
                 k: max(v, k2nd.get(k, 0.0))
                 for k, v in result["kernels_mb_s"].items()}
 
     with sect("kernel_scaling"):
-        if fits("kernel_scaling", 120.0):
+        if fits("kernel_scaling", 60.0 * noise):
             result["kernel_scaling"] = kernel_scaling()
     # cached WAL is left for reuse within the round (tmpfs)
 

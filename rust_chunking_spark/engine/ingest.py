@@ -889,7 +889,8 @@ class CdcIngestJob:
         from pyspark.sql import Window
 
         skinny = rows.select("url", "__ep", "content_fp")
-        seed = self._pre_window_fp(min(epochs))
+        seed = self._pre_window_fp(min(epochs),
+                                   skinny.select("url").distinct())
         if seed is not None:
             skinny = skinny.unionByName(
                 seed.withColumn("__ep", F.lit(-1)))
@@ -917,18 +918,25 @@ class CdcIngestJob:
         # leaves the buffer intact so a retried flush() still has the deltas
         self._pending_chunks = []
 
-    def _pre_window_fp(self, first_epoch: int):
+    def _pre_window_fp(self, first_epoch: int, window_urls=None):
         """Skinny (url, content_fp) lake state as of just before
         ``first_epoch`` committed — the seed row-set for the flush
         histogram's lag window on RESUMED replays (ADVICE r4 #1). Walks the
         snapshot history to the newest snapshot predating the epoch; MoR
         reads its skinny meta, COW a column-pruned (url, content_fp,
         deleted) projection of its data files. Tombstones surface as null
-        fp, so an in-window re-insert still counts as applied. Returns
-        None — zero cost — when no pre-window snapshot exists (fresh lake:
-        the whole-replay steady-state shape) or older manifests were
-        expired (then the first in-window row counts, the pre-seeding
-        behavior, disclosed here)."""
+        fp, so an in-window re-insert still counts as applied.
+
+        The O(window), never O(store) flush invariant holds: only urls the
+        WINDOW touches can collapse a lag comparison, so the seed is (a)
+        bucket-pruned — the scan reads only the pre-snapshot files of the
+        window urls' buckets, hashed with THAT snapshot's persisted
+        n_buckets (a rebucket may sit between) — and (b) semi-joined down
+        to the window's url set before it ever reaches the window shuffle.
+        Returns None — zero cost — when no pre-window snapshot exists
+        (fresh lake: the whole-replay steady-state shape) or older
+        manifests were expired (then the first in-window row counts, the
+        pre-seeding behavior, disclosed here)."""
         import json as _json
         import os as _os
 
@@ -944,14 +952,24 @@ class CdcIngestJob:
         if pre is None:
             return None
         key = "meta_files" if getattr(lake, "MOR", False) else "files"
-        files = [f for fl in pre.get(key, {}).values() for f in fl]
-        df = lake.read_files(self.spark, files)
+        sel = pre.get(key, {})
+        pre_n = pre.get("n_buckets")
+        if pre_n and window_urls is not None:
+            dirty = {str(int(r.b)) for r in window_urls.select(
+                F.pmod(F.xxhash64(F.col("url")), F.lit(int(pre_n)))
+                .alias("b")).distinct().collect()}   # skinny: <= n_buckets rows
+            sel = {b: fl for b, fl in sel.items() if b in dirty}
+        df = lake.read_files(self.spark,
+                             [f for fl in sel.values() for f in fl])
         if df is None:
             return None
-        return df.select(
+        out = df.select(
             "url",
             F.when(F.col("deleted"), F.lit(None).cast("binary"))
             .otherwise(F.col("content_fp")).alias("content_fp"))
+        if window_urls is not None:
+            out = out.join(window_urls, "url", "left_semi")
+        return out
 
     def flush(self) -> None:
         """End-of-replay flush for steady-state mode: chunk-store delta +

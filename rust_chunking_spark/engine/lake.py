@@ -64,6 +64,14 @@ class BucketedLake:
                 f"{path} is a {'MoR' if pmode else 'COW'} lake; open it "
                 f"with {'MorBucketedLake' if pmode else 'BucketedLake'} "
                 f"(--mode {'mor' if pmode else 'cow'})")
+        # ctor-arg validation, same loudness as the manifest guard above:
+        # n_buckets < 1 makes bucket_expr pmod(x, 0) = null-route every row
+        # into a __HIVE_DEFAULT_PARTITION__ with no error. (AppendOnlyTable's
+        # inner lake bypasses __init__ via __new__, so this cannot fire
+        # for it.)
+        if self.n_buckets < 1:
+            raise ValueError(
+                f"n_buckets={self.n_buckets} must be >= 1 for {path}")
 
     # ------------------------------------------------------------- snapshots
 

@@ -48,9 +48,15 @@ def sample_hash(key_col: str, seed: str = "s42") -> F.Column:
 def hash_threshold(fraction: float) -> str:
     """8-hex-digit threshold such that P(md5 prefix < threshold) == the
     largest multiple of 2^-32 not above ``fraction`` (exact for dyadic
-    fractions like 0.25)."""
+    fractions like 0.25). fraction == 1.0 returns "g", which is
+    lexicographically above every hex digit, so the predicate keeps ALL
+    rows — format(2^32, "08x") would be the 9-char "100000000", and an
+    8-char hex prefix compares below that only when it starts with "0"
+    (a silent ~94% drop for callers sampling "everything")."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
+    if fraction == 1.0:
+        return "g"
     return format(int(fraction * (1 << 32)), "08x")
 
 

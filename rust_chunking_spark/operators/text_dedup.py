@@ -379,6 +379,7 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                                    F.col(src).alias("d"))))
     labels = (e.select(F.col("s").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
+    prev = None
     for _ in range(max_iter):
         neigh = (e.join(labels.withColumnRenamed("node", "d"), "d")
                  .groupBy(F.col("s").alias("node"))
@@ -389,6 +390,9 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                           .alias("lab"),
                           (F.col("nlab") < F.col("lab")).alias("chg"))
                   .localCheckpoint())   # cut the lineage per round
+        if prev is not None:
+            prev.unpersist()   # blocks retained otherwise until GC: O(V)
+        prev = merged          # per LIVE round, not O(rounds x V) total
         changed = merged.filter("chg").count()
         labels = merged.select("node", "lab")
         if changed == 0:

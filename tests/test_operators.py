@@ -485,3 +485,16 @@ def test_connected_components_max_iter_raises(spark):
     df = spark.createDataFrame(chain, "a long, b long")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_hash_sample_fraction_one_keeps_everything(spark):
+    """fraction=1.0 must keep ALL rows: the threshold 'g' sorts above every
+    hex digit (the naive int(1.0 * 2**32) formats to NINE chars and would
+    silently keep only md5 prefixes starting with '0')."""
+    from rust_chunking_spark.operators.sampling import (hash_sample,
+                                                        hash_threshold)
+
+    assert hash_threshold(1.0) == "g"
+    df = spark.range(0, 500).withColumn("doc_id", F.col("id"))
+    assert hash_sample(df, 1.0, "doc_id").count() == 500
+    assert hash_sample(df, 0.0, "doc_id").count() == 0
