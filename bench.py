@@ -270,6 +270,45 @@ def _kernel_task(n_iters: int) -> None:
         V.super_chunks(buf)
 
 
+def gate_summary(result: dict) -> str:
+    """Compact gate-summary JSON line, ALWAYS printed last (VERDICT r5
+    what's-missing #1): the driver captures only the final ~2000 chars of
+    stdout, and the cumulative line grew past that (~4 KB with the 49-query
+    map in r5), so its tail started mid-line and nothing parsed. This line
+    carries every gate number, omits the per-query map and per-leg sample
+    arrays (both live in the cumulative line and BENCH.md), and is
+    hard-capped under 1500 chars by dropping lowest-value keys first — so
+    the driver's tail always ends with one complete parseable JSON line."""
+    def _slim(v):
+        if isinstance(v, dict):
+            return {k: x for k, x in v.items()
+                    if k not in ("samples_n", "samples_4n")}
+        return v
+
+    summary = {
+        "metric": result["metric"], "value": result["value"],
+        "unit": result["unit"], "sf": result["sf"],
+        "section_seconds_total":
+            round(sum(result["section_seconds"].values()), 1),
+        "skipped": [s["section"] for s in result["skipped"]],
+    }
+    for k in ("scaling", "streaming", "lake_compare", "scaling_2to8",
+              "kernel_scaling", "kernels_mb_s", "replay_events",
+              "value_cores", "lake_mode"):
+        if k in result:
+            summary[k] = _slim(result[k])
+    if "errors" in result:
+        summary["errors"] = {k: v[:80] for k, v in result["errors"].items()}
+    line = json.dumps(summary)
+    for drop in ("kernels_mb_s", "kernel_scaling", "scaling_2to8",
+                 "lake_compare", "errors", "skipped"):
+        if len(line) <= 1500:
+            break
+        summary.pop(drop, None)
+        line = json.dumps(summary)
+    return line
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay", action="store_true")
@@ -319,6 +358,7 @@ def main():
         # complete, parseable superset of the previous one; the driver keeps
         # the last parseable line, so a kill costs only unfinished sections.
         print(json.dumps(result), flush=True)
+        print(gate_summary(result), flush=True)
 
     def fits(name: str, est: float) -> bool:
         """Budget gate: skip (and record) a section whose estimated cost
@@ -406,6 +446,20 @@ def main():
                 f.write(str(total))
         result["replay_events"] = total
 
+    def wal_gate(name: str) -> bool:
+        # A wal_gen failure is FATAL for every replay-dependent section
+        # (ADVICE r5 #2): sect() swallows the exception, and proceeding with
+        # total=0 would spawn --events 0 subprocesses yielding 0 ev/s and a
+        # ZeroDivisionError cascade in the efficiency calc — a pile of
+        # misleading per-section errors instead of one clear skip record.
+        if total > 0:
+            return True
+        result["skipped"].append({
+            "section": name,
+            "reason": "wal_gen failed: "
+                      + result.get("errors", {}).get("wal_gen", "0 events")})
+        return False
+
     # ------------------------------------------------------ THE GATE section
     # Interleaved pairs, best-of-k per level: identical runs on this shared
     # host vary up to 3x (BENCH.md), and interference can hit either level,
@@ -424,7 +478,7 @@ def main():
     samples: dict[int, list] = {n: [], n4: []}
     secs: dict[int, list] = {n: [], n4: []}
     with sect("scaling"):
-        for pair in range(eff_k):
+        for pair in range(eff_k if wal_gate("scaling") else 0):
             for c in (n, n4):
                 r = replay_at(c)
                 samples[c].append(round(r["events_per_sec"], 1))
@@ -445,7 +499,7 @@ def main():
                 "pinned": bool(shutil.which("taskset")),
             }
             emit()
-        for _ in range(max(0, repeats - eff_k)):
+        for _ in range(max(0, repeats - eff_k) if secs[n4] else 0):
             if not fits("scaling_extra_draw", min(secs[n4]) * 1.2):
                 break
             r = replay_at(n4)
@@ -484,7 +538,8 @@ def main():
         sk = eff_k
         while sk > 1 and t4 and elapsed() + sk * 1.25 * t4 > budget - margin:
             sk -= 1   # degrade draws before skipping; ratio stays equal-draw
-        if t4 and samples[n4] and fits("streaming", sk * 1.25 * t4):
+        if (wal_gate("streaming") and t4 and samples[n4]
+                and fits("streaming", sk * 1.25 * t4)):
             stream_best = max(replay_at(n4, stream=True)["events_per_sec"]
                               for _ in range(sk))
             batch_ref = max(samples[n4][:sk])
@@ -494,6 +549,33 @@ def main():
                 "tput_batch": round(batch_ref, 1),
                 "stream_over_batch": round(stream_best / batch_ref, 3),
                 "draws_per_side": sk,
+            }
+
+    # sink-mode comparison at the 4N level (same WAL, same pinning): MoR is
+    # the default bench mode; the COW side records the delta between
+    # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO. Runs BEFORE
+    # scaling_2to8 (VERDICT r5 next #3): the 2->8 pair is disclosure
+    # evidence, the COW/MoR delta is an engineering number users act on,
+    # and it has lost the budget race two rounds running. Equal-draw rule
+    # (ADVICE r5 #1): the default side's best is taken over the FIRST ck
+    # scaling samples — never over extra 4N draws the other side didn't
+    # get — and both actual draw counts are reported.
+    with sect("lake_compare"):
+        mode = result.get("lake_mode", "mor")
+        other = "cow" if mode == "mor" else "mor"
+        draw_est = (3.4 if other == "cow" else 2.2) * (t4 or 600) / 2
+        ck = eff_k
+        while ck > 1 and elapsed() + ck * draw_est > budget - margin:
+            ck -= 1   # degrade to fewer draws before skipping outright
+        if (wal_gate("lake_compare") and t4 and samples[n4]
+                and fits("lake_compare", ck * draw_est)):
+            cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
+                           for _ in range(ck))
+            default_draws = samples[n4][:ck]
+            result["lake_compare"] = {
+                f"{mode}_{n4}c": max(default_draws),
+                f"{other}_{n4}c": round(cmp_best, 1),
+                "draws_other": ck, "draws_default": len(default_draws),
             }
 
     # Secondary 2N->8N pair (VERDICT r3 #7): quantifies where this
@@ -512,7 +594,8 @@ def main():
         # the trim is sized silently, only the final infeasible case records
         while k2 > 1 and elapsed() + k2 * pair_est + 30 > budget - margin:
             k2 -= 1
-        if fits("scaling_2to8", k2 * pair_est + 30):
+        if wal_gate("scaling_2to8") and fits("scaling_2to8",
+                                             k2 * pair_est + 30):
             samples2: dict[int, list] = {n2: [], n8: []}
             for c in [n2, n8] * k2:
                 samples2[c].append(round(replay_at(c)["events_per_sec"], 1))
@@ -523,27 +606,6 @@ def main():
                 "efficiency": round(eff2, 3),
                 "samples_n": samples2[n2], "samples_4n": samples2[n8],
                 "pinned": bool(shutil.which("taskset")),
-            }
-
-    # sink-mode comparison at the 4N level (same WAL, same pinning): MoR is
-    # the default bench mode; the COW side records the delta between
-    # O(changed-bytes) and O(dirty-bucket-bytes) per-epoch IO. Both sides
-    # must be best-of-k under the same k — the default mode's number is a
-    # best-of-k from the scaling legs, so the other mode gets eff_k draws.
-    with sect("lake_compare"):
-        mode = result.get("lake_mode", "mor")
-        other = "cow" if mode == "mor" else "mor"
-        draw_est = (3.4 if other == "cow" else 2.2) * (t4 or 600) / 2
-        ck = eff_k
-        while ck > 1 and elapsed() + ck * draw_est > budget - margin:
-            ck -= 1   # degrade to fewer draws before skipping outright
-        if t4 and samples[n4] and fits("lake_compare", ck * draw_est):
-            cmp_best = max(replay_at(n4, lake=other)["events_per_sec"]
-                           for _ in range(ck))
-            result["lake_compare"] = {
-                f"{mode}_{n4}c": max(samples[n4]),
-                f"{other}_{n4}c": round(cmp_best, 1),
-                "draws_other": ck, "draws_default": eff_k,
             }
 
     with sect("kernels_pass2"):
