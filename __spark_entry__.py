@@ -14,6 +14,7 @@ engines so sums are exact (no float summation-order drift).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -69,11 +70,37 @@ def _bcast_if(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= BCAST_ROW_LIMIT else df
 
 
-def _bcast_counted(df: DataFrame) -> DataFrame:
-    """Guarded broadcast for a dimension table: hint only when a count-star
-    (parquet-metadata fast) says the side fits. One skinny action — the
-    price of never hard-hinting a multi-GB dim at 100x."""
-    return _bcast_if(df, df.count())
+#: Session cache for dimension-table row counts, keyed by parquet path
+#: (VERDICT r5 next #5: the guarded broadcast's count() job is a fixed
+#: per-query cost — ~3s of the top_customers r5 regression). Testdata
+#: paths are immutable within a session, so caching is safe.
+_DIM_ROWS_CACHE: dict = {}
+
+
+def _dim_rows(path: str) -> int:
+    """Exact row count of a parquet dimension from FOOTER METADATA —
+    driver-side milliseconds, no Spark job at all — cached per path for
+    the session. At 100x this is exactly how an engine should size a
+    broadcast guard: the parquet footer already carries the row count; a
+    count() action re-derives it with a full job."""
+    n = _DIM_ROWS_CACHE.get(path)
+    if n is None:
+        import glob
+
+        import pyarrow.parquet as pq
+        files = ([path] if os.path.isfile(path)
+                 else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        n = sum(pq.read_metadata(f).num_rows for f in files)
+        _DIM_ROWS_CACHE[path] = n
+    return n
+
+
+def _bcast_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Guarded broadcast for a file-backed dimension table: hint only when
+    the footer-metadata row count says the side fits under
+    BCAST_ROW_LIMIT — never a hard hint on a multi-GB dim at 100x."""
+    return _bcast_if(_t(spark, sf_dir, name),
+                     _dim_rows(f"{sf_dir}/{name}.parquet"))
 
 
 def _prefix_dup_candidates(d: DataFrame, with_bound: bool = False):
@@ -325,8 +352,8 @@ def _q_orders_status(spark, sf_dir):
 
 def _q_top_customers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return (o.join(_bcast_counted(c), o.o_custkey == c.c_custkey)
+    c = _bcast_dim(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_custkey")
             .agg(F.count("*").alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
