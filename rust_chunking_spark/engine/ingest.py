@@ -942,7 +942,17 @@ class CdcIngestJob:
 
         lake = self.lake
         pre = None
+        # bound the walk at the CURRENT pointer (ADVICE r5 #4): a crash
+        # between the snapshot write and the CURRENT flip in _commit leaves
+        # an orphan v*.json above CURRENT — never-committed state that must
+        # not seed the histogram (maintenance repairs it later; until then
+        # it is invisible to readers and must stay invisible here)
+        cur = lake._current_version()
+        if cur is None:
+            return None
         for v in lake.snapshot_versions():
+            if v > cur:
+                break
             with open(_os.path.join(lake.path, "snapshots",
                                     f"v{v:08d}.json")) as f:
                 snap = _json.load(f)

@@ -277,14 +277,24 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     bands x 10^12 join outputs. Buckets larger than ``band_group_cap``
     therefore emit CLUSTER-REPRESENTATIVE stars instead: (min-id rep,
     member) pairs, O(g) rows that still name every member of the oversized
-    bucket — nothing is silently dropped; members connect through the rep
-    (cluster-then-verify), exactly the cap semantics of the prefix-hash
-    generators (__spark_entry__._prefix_dup_candidates). Star pairs go
-    through the same signature verification as enumerated ones. Bucket
-    sizes come from a partial-aggregating groupBy (skew-immune) joined back
-    on (band, bh); AQE splits a hot bucket on the join. The default cap is
-    far above any honest near-dup bucket size, so output is unchanged
-    except under template-collapse pathologies.
+    bucket, exactly the cap semantics of the prefix-hash generators
+    (__spark_entry__._prefix_dup_candidates). Bucket sizes come from a
+    partial-aggregating groupBy (skew-immune) joined back on (band, bh);
+    AQE splits a hot bucket on the join.
+
+    Cap semantics in the output (ADVICE r5 #3): every pair carries a
+    ``capped`` flag. Enumerated (sub-cap) pairs are verified on full
+    signatures and threshold-filtered as before. Star pairs from oversized
+    buckets are verified but NOT threshold-filtered: in a HETEROGENEOUS
+    oversized bucket, member-member pairs are only reachable through the
+    rep, so dropping a sub-threshold rep-member star would silently sever
+    those members. They are returned with capped=true and their
+    est_jaccard so a downstream cluster step (connected_components +
+    cluster-level verification) can resolve them — the consumer contract
+    is: treat capped=false rows as verified near-dup pairs, capped=true
+    rows as cluster-candidate edges. With the default cap no honest
+    near-dup bucket is oversized, so capped=true appears only under
+    template-collapse pathologies and output is otherwise unchanged.
     """
     rows = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes, shingle_k)
@@ -326,15 +336,19 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
              .join(small.select(F.col("id").alias("b"), "band", "bh"),
                    ["band", "bh"])
              .filter(F.col("a") < F.col("b"))
-             .select("a", "b"))
+             .select("a", "b", F.lit(False).alias("capped")))
     # oversized buckets: O(g) star rows around the min-id representative
     # (rep < member always holds, so a < b is preserved)
     reps = (sized.filter(F.col("g") > band_group_cap)
             .groupBy("band", "bh").agg(F.min("id").alias("a")))
     star = (sized.join(reps, ["band", "bh"])
             .filter(F.col("id") != F.col("a"))
-            .select("a", F.col("id").alias("b")))
-    cand = pairs.unionByName(star).distinct()
+            .select("a", F.col("id").alias("b"), F.lit(True).alias("capped")))
+    # a pair seen both enumerated and as a star keeps capped=true: the star
+    # edge exists to connect an oversized bucket's members, and must not be
+    # re-subjected to the threshold by its enumerated twin
+    cand = (pairs.unionByName(star)
+            .groupBy("a", "b").agg(F.max("capped").alias("capped")))
 
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
@@ -343,40 +357,54 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
                     "est_jaccard",
                     F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
                            " v -> v))") / F.lit(n_hashes))
-                .filter(F.col("est_jaccard") >= threshold)
-                .select("a", "b", "est_jaccard"))
+                .filter((F.col("est_jaccard") >= threshold)
+                        | F.col("capped"))
+                .select("a", "b", "est_jaccard", "capped"))
     return verified
 
 
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         algorithm: str = "auto") -> DataFrame:
     """Duplicate-cluster labeling: connected components over an undirected
-    edge list by iterative min-label propagation. Returns one row per node
-    that appears in an edge: (node, cluster_id) with cluster_id = the
-    smallest node id reachable from it.
+    edge list. Returns one row per node that appears in an edge:
+    (node, cluster_id) with cluster_id = the smallest node id reachable
+    from it.
 
-    Each iteration is label[n] <- min(label[n], min over neighbors'
-    labels): one join of the symmetric edge list against the skinny
-    (node, label) frame plus a min-groupBy — two shuffles of O(E) / O(V)
-    SKINNY rows (two long columns; document text never enters). Iterations
-    needed = graph diameter in rounds ~ O(log D); dedup graphs from hash
-    groups are cliques and representative stars (diameter <= 2 after the
-    DUP_GROUP_CAP star fallback), so 2-3 rounds converge. Convergence is
-    detected with a one-row changed-count aggregate per round (a skinny
+    ``algorithm``:
+
+    - ``"label"`` — iterative min-label propagation. Each iteration is
+      label[n] <- min(label[n], min over neighbors' labels): one join of
+      the symmetric edge list against the skinny (node, label) frame plus
+      a min-groupBy — two shuffles of O(E) / O(V) SKINNY rows (two long
+      columns; document text never enters). Iterations needed = graph
+      diameter; dedup graphs from hash groups are cliques and
+      representative stars (diameter <= 2 after the DUP_GROUP_CAP star
+      fallback), so 2-3 rounds converge. Raises after ``max_iter`` rounds
+      without convergence rather than returning silently-wrong labels.
+    - ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      same skinny per-round shuffle shape, provably O(log^2 n) rounds
+      regardless of diameter — the web-scale path for deep components
+      (chained near-dup edges).
+    - ``"auto"`` (default) — label propagation first (cheapest on the
+      shallow graphs dedup candidates produce by construction); if it has
+      not converged after ``max_iter`` rounds, falls back to star
+      contraction on the original edges instead of raising (VERDICT r5
+      next #6: the deep-graph case previously had only an honest raise).
+
+    Convergence is detected with a one-row aggregate per round (a skinny
     driver action, same budget class as the engine's per-epoch LWW
-    collect). At true web scale (components with large diameter, e.g.
-    chained near-dup edges) swap the propagation loop for the
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") — same per-round shuffle shape, provably
-    O(log^2) rounds; this entry point keeps the simple loop because dedup
-    candidate graphs are shallow by construction.
-
-    Raises after ``max_iter`` rounds without convergence rather than
-    returning silently-wrong labels.
+    collect).
     """
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-         .unionByName(edges.select(F.col(dst).alias("s"),
-                                   F.col(src).alias("d"))))
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    canon = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if algorithm == "star":
+        return _star_components(canon)
+
+    e = canon.unionByName(canon.select(F.col("d").alias("s"),
+                                       F.col("s").alias("d")))
     labels = (e.select(F.col("s").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
     prev = None
@@ -398,5 +426,81 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         if changed == 0:
             return labels.select(F.col("node"),
                                  F.col("lab").alias("cluster_id"))
+    if algorithm == "auto":
+        if prev is not None:
+            prev.unpersist()
+        return _star_components(canon)
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} "
-                       f"rounds (diameter too large — use star algorithm)")
+                       f"rounds (diameter too large — use algorithm='star')")
+
+
+def _star_components(canon: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014). ``canon``
+    is the raw (s, d) edge list; output is (node, cluster_id = component's
+    min node id) for every node appearing in an edge.
+
+    Each round is two skinny passes over the CURRENT edge set (which only
+    shrinks toward stars — never the quadratic blowup of transitive
+    closure):
+
+    - large-star: every node attaches its LARGER neighbors to the minimum
+      of its neighborhood (incl. itself) — halves long chains;
+    - small-star: every node attaches its smaller-or-equal neighbors (and
+      itself) to its neighborhood minimum — flattens toward stars.
+
+    Fixpoint is reached when the canonical edge set stops changing,
+    detected by a (count, sum-of-xxhash64) one-row aggregate — at the
+    fixpoint the edges ARE the (node -> component min) stars, plus
+    self-labels for the roots. Rounds are O(log^2 n) provably, O(log n)
+    in practice; ``max_rounds`` is a far-above backstop.
+    """
+    e = (canon.filter(F.col("s") != F.col("d"))
+         .select(F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v"))
+         .distinct().localCheckpoint())
+    all_nodes = (canon.select(F.col("s").alias("node"))
+                 .unionByName(canon.select(F.col("d").alias("node")))
+                 .distinct().localCheckpoint())
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    def _large_star(d: DataFrame) -> DataFrame:
+        sym = d.unionByName(d.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        return (sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def _small_star(d: DataFrame) -> DataFrame:
+        # edges directed large -> small (v < u by construction upstream)
+        dd = d.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+        mins = dd.groupBy("u").agg(F.min("v").alias("mn"))
+        nbr = (dd.join(mins, "u").filter(F.col("v") != F.col("mn"))
+               .select(F.col("v").alias("u"), F.col("mn").alias("v")))
+        own = mins.select("u", F.col("mn").alias("v"))
+        return nbr.unionByName(own).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        e.unpersist()
+        nsig = _signature(nxt)
+        e = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"_star_components: no fixpoint in {max_rounds} rounds")
+    # fixpoint edges are (node -> component min); roots label themselves,
+    # via all_nodes so singleton-free coverage matches the label algorithm
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("lab"))
+    return (all_nodes.join(labels, "node", "left")
+            .select("node", F.coalesce("lab", "node").alias("cluster_id")))

@@ -395,6 +395,82 @@ def test_flush_histogram_parity_on_resumed_replay(spark, tmp_path, mode):
 
 
 @pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_flush_histogram_ignores_orphan_snapshot(spark, tmp_path, mode):
+    """ADVICE r5 #4: a crash between _commit's snapshot write and the
+    CURRENT flip leaves an orphan v*.json ABOVE the CURRENT pointer —
+    never-committed state. The resumed-replay histogram seed walk must
+    bound at CURRENT: here the orphan is a stale copy of the epoch-0 state
+    (u1 = content A), and picking it as the pre-window seed would make the
+    window's revert-to-A look like a no-op, silently dropping that epoch's
+    histogram mass."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    from rust_chunking_spark.engine.lake import BucketedLake
+
+    t = lambda m: dt.datetime(2026, 3, 1) + dt.timedelta(minutes=m)
+    A = b"<html>first content body AAAA</html>" * 8
+    B = b"<html>second content body BB</html>" * 8
+    epochs = [
+        [dict(url="u1", warc_ts=t(0), lsn=1, op="I", html=A, text="a",
+              lang="en")],
+        [dict(url="u1", warc_ts=t(10), lsn=2, op="U", html=B, text="b",
+              lang="en")],
+        # window 2 (resume): revert to pre-window content A — applied, and
+        # only a TRUE pre-window seed (u1 = B) can know that
+        [dict(url="u1", warc_ts=t(20), lsn=3, op="U", html=A, text="a",
+              lang="en")],
+    ]
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(epochs):
+        spark.createDataFrame(events).write.mode("overwrite").parquet(
+            f"{wal_dir}/epoch={ep:06d}")
+
+    lake_cls = MorBucketedLake if mode == "mor" else BucketedLake
+    obs = CdcIngestJob(
+        spark, lake_cls(f"{tmp_path}/obs/lake", n_buckets=2),
+        AppendOnlyTable(f"{tmp_path}/obs/chunks"),
+        AppendOnlyTable(f"{tmp_path}/obs/metrics"), collect_metrics=True)
+    obs.run(wal_dir, [0, 1, 2])
+
+    mk = lambda: CdcIngestJob(
+        spark, lake_cls(f"{tmp_path}/ss/lake", n_buckets=2),
+        AppendOnlyTable(f"{tmp_path}/ss/chunks"),
+        AppendOnlyTable(f"{tmp_path}/ss/metrics"), collect_metrics=False)
+    j1 = mk()
+    j1.run(wal_dir, [0, 1])
+    j1.flush()
+
+    # plant the orphan: the snapshot whose committed_epochs == [0] (u1=A),
+    # re-versioned above CURRENT, exactly what a crashed commit leaves
+    snap_dir = os.path.join(f"{tmp_path}/ss/lake", "snapshots")
+    lake = j1.lake
+    cur = lake._current_version()
+    donor = None
+    for v in lake.snapshot_versions():
+        with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+            if json.load(f)["committed_epochs"] == [0]:
+                donor = v
+                break
+    assert donor is not None and cur is not None
+    shutil.copy(os.path.join(snap_dir, f"v{donor:08d}.json"),
+                os.path.join(snap_dir, f"v{cur + 7:08d}.json"))
+
+    j2 = mk()                                   # resume in a fresh process
+    j2.run(wal_dir, [2])
+    j2.flush()
+
+    obs_h = [r for r in _metric_rows(spark, f"{tmp_path}/obs/metrics")
+             if r[1] == "chunk_len_hist"]
+    ss_h = [r for r in _metric_rows(spark, f"{tmp_path}/ss/metrics")
+            if r[1] == "chunk_len_hist"]
+    assert ss_h == obs_h
+    assert {e for e, *_ in ss_h} == {0, 1, 2}   # the revert epoch counted
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
 def test_flush_histogram_counts_reverted_content(spark, tmp_path, mode):
     """A revert (content A -> B -> A across three epochs) is an APPLIED
     update in its own epoch; the steady-state flush histogram must count it

@@ -568,6 +568,8 @@ def test_connected_components_chains_and_cliques(spark):
 
 
 def test_connected_components_max_iter_raises(spark):
+    """algorithm='label' keeps the honest-raise contract: never return
+    silently-wrong labels on a graph deeper than max_iter."""
     import pytest as _pytest
 
     from rust_chunking_spark.operators.text_dedup import connected_components
@@ -575,7 +577,86 @@ def test_connected_components_max_iter_raises(spark):
     chain = [(i, i + 1) for i in range(1, 40)]
     df = spark.createDataFrame(chain, "a long, b long")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, algorithm="label")
+
+
+def test_connected_components_star_path_graph_1000_nodes(spark):
+    """Large-star/small-star contraction (VERDICT r5 next #6): a 1000-node
+    path is the adversarial deep-diameter case — label propagation needs
+    ~999 rounds, star contraction O(log n). Every node must label to 0."""
+    chain = [(i, i + 1) for i in range(999)]
+    df = spark.createDataFrame(chain, "a long, b long")
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    got = {r.node: r.cluster_id
+           for r in connected_components(df, algorithm="star").collect()}
+    assert got == {i: 0 for i in range(1000)}
+
+
+def test_connected_components_auto_falls_back_to_star(spark):
+    """Default 'auto': label propagation past max_iter falls back to star
+    contraction instead of raising — deep chains now converge through the
+    default entry point, shallow dedup graphs never pay for it."""
+    chain = [(i, i + 1) for i in range(60)]          # diameter 60 > max_iter
+    extra = [(1000, 2000), (2000, 3000)]             # plus a shallow comp
+    df = spark.createDataFrame(chain + extra, "a long, b long")
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    got = {r.node: r.cluster_id
+           for r in connected_components(df, max_iter=3).collect()}
+    want = {i: 0 for i in range(61)}
+    want.update({1000: 1000, 2000: 1000, 3000: 1000})
+    assert got == want
+
+
+def test_connected_components_star_matches_label_on_mixed_graph(spark):
+    """Both algorithms must produce identical labels on the graphs the
+    dedup pipeline actually emits (cliques + representative stars)."""
+    edges = ([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+              (10, 11), (11, 12), (10, 12), (100, 200)]
+             + [(500, 500 + i) for i in range(1, 20)])   # a 20-member star
+    df = spark.createDataFrame(edges, "a long, b long")
+    from rust_chunking_spark.operators.text_dedup import connected_components
+
+    lab = {r.node: r.cluster_id
+           for r in connected_components(df, algorithm="label").collect()}
+    star = {r.node: r.cluster_id
+            for r in connected_components(df, algorithm="star").collect()}
+    assert lab == star
+
+
+def test_lsh_heterogeneous_oversized_bucket_keeps_capped_stars(spark):
+    """ADVICE r5 #3: in an oversized bucket, member-member pairs are only
+    reachable through the min-id rep — a rep-member star that fails the
+    similarity threshold must NOT be silently dropped (it would sever those
+    members). Such pairs now survive with capped=true and their true
+    est_jaccard, for a downstream cluster step to resolve."""
+    from rust_chunking_spark.operators.text_dedup import lsh_duplicate_pairs
+
+    # 70 docs, each = one template with a DIFFERENT token changed: they
+    # collide in most bands (bucket size 70 > cap 64) but pairwise
+    # est_jaccard is well below a 0.999 threshold — pre-fix, every star
+    # was threshold-dropped and the members severed
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu " * 4
+            ).split()
+    docs = []
+    for i in range(70):
+        mod = list(base)
+        mod[i] = f"CHANGED{i}"
+        docs.append((i, " ".join(mod)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = lsh_duplicate_pairs(df, threshold=0.999,
+                               band_group_cap=16).collect()
+    capped = [r for r in rows if r.capped]
+    assert capped, "capped stars must survive a threshold they fail"
+    assert all(r.est_jaccard < 0.999 for r in capped)
+    assert all(r.a < r.b for r in rows)
+    # stars are O(g): few reps (<= one per band), not a pair enumeration
+    assert len({r.a for r in capped}) <= 16
+    # and nothing slipped through as a falsely-verified pair
+    assert all(r.capped for r in rows if r.est_jaccard < 0.999)
 
 
 def test_hash_sample_fraction_one_keeps_everything(spark):
