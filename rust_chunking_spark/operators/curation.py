@@ -1,0 +1,163 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+No reference counterpart (rust-chunking is a chunking library); these are
+the web-corpus curation stages a 100 TB run applies after dedup:
+
+- ``ngram_contamination``: benchmark decontamination — flag training
+  documents that contain word n-grams from an evaluation/benchmark set,
+  the standard train/test-overlap control (n = 8..13 word n-grams in
+  published pipelines).
+- ``repetition_signals``: Gopher/C4-style repetition quality signals —
+  distinct-word fraction, most-frequent-word share, duplicate word-trigram
+  fraction — the cheap filters that remove degenerate/boilerplate pages
+  before any model-based scoring.
+
+Everything is JVM-side (higher-order functions + relational ops): no
+Python UDF in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """Word n-grams of a whitespace-tokenized text column as
+    ``array<string>`` (empty when the doc has fewer than n words) —
+    JVM-side via transform/sequence/slice, the same higher-order-function
+    shape as the shingle operators."""
+    words = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.expr(f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+               f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        broadcast_bench: bool = True) -> DataFrame:
+    """Per-document benchmark contamination: (id, n_hits) where n_hits =
+    how many DISTINCT benchmark n-grams the document contains (docs with
+    zero hits are not returned — at scale almost everything is clean and
+    the output stays skinny).
+
+    Plan shape: both sides explode to distinct (ngram) rows — linear, no
+    state — and meet in one equi-join on the ngram string. The benchmark
+    side is the distinct n-gram set of an EVALUATION suite: small by
+    construction, so it is broadcast by default and the join is map-side
+    (zero shuffle of the corpus). ``broadcast_bench=False`` is the escape
+    hatch for an unusually large benchmark set — the hint drops and AQE
+    picks the strategy (same pattern as similarity.broadcast_probes).
+    """
+    d_grams = (docs.select(F.col(id_col).alias("id"),
+                           F.explode(F.array_distinct(
+                               word_ngrams(text_col, n))).alias("g")))
+    b_grams = (bench.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+               .distinct())
+    if broadcast_bench:
+        b_grams = F.broadcast(b_grams)
+    return (d_grams.join(b_grams, "g")
+            .groupBy("id").agg(F.count("*").alias("n_hits"))
+            .select(F.col("id").alias(id_col), "n_hits"))
+
+
+def ngram_contamination_sql(docs_table: str, bench_where: str, n: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`ngram_contamination` for the DuckDB oracle:
+    the benchmark side is ``docs_table`` filtered by ``bench_where``, the
+    eval side its complement."""
+    grams = (f"list_transform(generate_series(1, "
+             f"len(string_split({text_col}, ' ')) - {n - 1}), "
+             f"i -> array_to_string("
+             f"string_split({text_col}, ' ')[i:i+{n - 1}], ' '))")
+    return f"""
+      WITH d_grams AS (
+        SELECT {id_col} AS id, UNNEST(list_distinct({grams})) AS g
+        FROM {docs_table}
+        WHERE NOT ({bench_where})
+          AND len(string_split({text_col}, ' ')) >= {n}),
+      b_grams AS (
+        SELECT DISTINCT UNNEST({grams}) AS g
+        FROM {docs_table}
+        WHERE ({bench_where})
+          AND len(string_split({text_col}, ' ')) >= {n})
+      SELECT id AS {id_col}, count(*) AS n_hits
+      FROM d_grams JOIN b_grams USING (g)
+      GROUP BY id
+    """
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style per-document repetition signals:
+
+    - ``n_words`` — whitespace token count;
+    - ``distinct_word_frac`` — |distinct words| / n_words (degenerate
+      repetition pushes this toward 0);
+    - ``top_word_frac`` — share of the single most frequent word (a page
+      that is 40% one token is boilerplate);
+    - ``dup_trigram_frac`` — fraction of word trigrams that are repeats
+      of an earlier trigram in the same doc.
+
+    Plan shape: the array-based signals are row-local higher-order
+    functions; top_word_frac is the one distributed part — explode to
+    (id, word), one partial-aggregating groupBy, one max over the group —
+    all keyed by (id, word) then id: linear, skew-free (a document is one
+    group; no document is 100 TB). Ratios are rounded to 4 decimals so
+    the DuckDB twin compares exactly.
+    """
+    words = F.split(F.col(text_col), " ")
+    tri = word_ngrams(text_col, 3)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("n_words"),
+        F.round(F.size(F.array_distinct(words)) / F.size(words), 4)
+        .alias("distinct_word_frac"),
+        F.when(F.size(tri) > 0,
+               F.round((F.size(tri) - F.size(F.array_distinct(tri)))
+                       / F.size(tri), 4))
+        .otherwise(F.lit(0.0)).alias("dup_trigram_frac"))
+    counts = (docs.select(F.col(id_col).alias("id"),
+                          F.explode(F.split(F.col(text_col), " "))
+                          .alias("w"))
+              .groupBy("id", "w").agg(F.count("*").alias("c"))
+              .groupBy("id").agg(F.max("c").alias("top_c"),
+                                 F.sum("c").alias("n")))
+    top = counts.select("id", F.round(F.col("top_c") / F.col("n"), 4)
+                        .alias("top_word_frac"))
+    return (base.join(top, "id")
+            .select(F.col("id").alias(id_col), "n_words",
+                    "distinct_word_frac", "top_word_frac",
+                    "dup_trigram_frac"))
+
+
+def repetition_signals_sql(docs_table: str, id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`repetition_signals` (DuckDB oracle)."""
+    w = f"string_split({text_col}, ' ')"
+    tri = (f"list_transform(generate_series(1, len({w}) - 2), "
+           f"i -> array_to_string({w}[i:i+2], ' '))")
+    return f"""
+      WITH base AS (
+        SELECT {id_col} AS id,
+               len({w}) AS n_words,
+               ROUND(len(list_distinct({w})) * 1.0 / len({w}), 4)
+                 AS distinct_word_frac,
+               CASE WHEN len({w}) >= 3 THEN
+                 ROUND((len({tri}) - len(list_distinct({tri}))) * 1.0
+                       / len({tri}), 4)
+               ELSE 0.0 END AS dup_trigram_frac
+        FROM {docs_table}),
+      wc AS (
+        SELECT id, word, count(*) AS c FROM (
+          SELECT {id_col} AS id, UNNEST({w}) AS word FROM {docs_table}) t
+        GROUP BY id, word),
+      top AS (
+        SELECT id, ROUND(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+        FROM wc GROUP BY id)
+      SELECT base.id AS {id_col}, n_words, distinct_word_frac,
+             top_word_frac, dup_trigram_frac
+      FROM base JOIN top USING (id)
+    """

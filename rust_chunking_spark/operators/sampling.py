@@ -141,6 +141,69 @@ def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
             .drop("__k"))
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int, key_col: str,
+                  seed: str = "s42",
+                  rank_col: str = "rank_in_group") -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-host / per-source /
+    per-domain cap every web-corpus curation run applies (a handful of
+    template-heavy hosts can be most of a crawl). Selection is the ``cap``
+    rows with the smallest salted hash (ties by ``key_col``): deterministic
+    by VALUE, so re-runs, resumes, and repartitions agree. Adds
+    ``rank_col`` (1-based rank inside the group).
+
+    Scale shape — one skinny aggregate computes, per group, the EXACT
+    count of rows under each of 33 fixed power-of-two hash thresholds
+    (fixed-size agg buffer: 33 longs, partial-aggregating, skew-immune).
+    The group's prefilter threshold is then the smallest grid threshold
+    whose exact count still covers k = min(cap, n) — correctness is
+    unconditional (no probabilistic margin, no fallback path), and with a
+    uniform hash the survivor set is ~2k rows. Only those survivors reach
+    the ranking window: a 10^8-doc host costs O(cap) on its window task,
+    not O(n). Output is bit-identical to ranking whole groups
+    (prefix-filter order is consistent with full-hash rank order).
+    """
+    if cap < 0:
+        raise ValueError(f"cap {cap} must be >= 0")
+    h = sample_hash(key_col, seed)
+    h8 = F.substring(h, 1, 8)
+    # grid[j] = threshold for fraction 2^-j; grid[0] = 'g' keeps all
+    grid = [hash_threshold(2.0 ** -j) for j in range(33)]
+    k = F.least(F.lit(cap), F.col("__n"))
+    m_aggs = [F.sum(F.when(h8 < F.lit(grid[j]), 1).otherwise(0))
+              .alias(f"__m{j}") for j in range(1, 33)]
+    # smallest threshold (largest j) whose exact under-count covers k;
+    # j=0 always covers (m0 == n >= k)
+    thr = F.coalesce(
+        *[F.when(F.col(f"__m{j}") >= k, F.lit(grid[j]))
+          for j in range(32, 0, -1)],
+        F.lit(grid[0]))
+    stats = (df.groupBy(F.col(group_col).alias("__grp"))
+             .agg(F.count("*").alias("__n"), *m_aggs)
+             .select("__grp", k.alias("__k"), thr.alias("__thr")))
+    joined = (df.join(stats, F.col(group_col).eqNullSafe(F.col("__grp")))
+              .drop("__grp"))
+    survivors = joined.filter(h8 < F.col("__thr")).drop("__thr")
+    w_rank = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (survivors.withColumn(rank_col, F.row_number().over(w_rank))
+            .filter(F.col(rank_col) <= F.col("__k"))
+            .drop("__k"))
+
+
+def cap_per_group_sql(table: str, group_col: str, cap: int, key_col: str,
+                      seed: str = "s42", rank_col: str = "rank_in_group",
+                      select: str = "*") -> str:
+    """The ANSI-SQL twin of :func:`cap_per_group` (DuckDB oracle): the
+    semantics are a plain per-group top-``cap`` by (hash, key) — the
+    two-phase plan must be observationally identical to this window."""
+    h = f"md5('{seed}:' || CAST({key_col} AS VARCHAR))"
+    return (
+        f"SELECT {select}, CAST(rn AS BIGINT) AS {rank_col} FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY {group_col}"
+        f"    ORDER BY {h}, {key_col}) AS rn"
+        f"  FROM {table})"
+        f" WHERE rn <= {cap}")
+
+
 def stratified_sample_sql(table: str, strata_col: str, fraction: float,
                           key_col: str, seed: str = "s42",
                           rank_col: str = "rank_in_stratum",

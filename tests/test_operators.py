@@ -539,6 +539,110 @@ def test_stratified_underselect_fallback_stays_exact(spark):
         assert sorted(ranks) == [1, 2], lang   # ceil(3 * 0.5) == 2, exact
 
 
+def test_cap_per_group_exact_and_bounded(spark):
+    """cap_per_group: exactly min(cap, n) rows per group, ranks a 1..k
+    prefix, selection identical to ranking whole groups, and the
+    pre-window survivor set is O(cap) on a hot group."""
+    from pyspark.sql import Window
+
+    from rust_chunking_spark.operators.sampling import (cap_per_group,
+                                                        sample_hash)
+
+    # hot group: 18000 docs in one source; plus small and tiny groups
+    rows = ([(i, "hot") for i in range(18_000)]
+            + [(100_000 + i, "mid") for i in range(50)]
+            + [(200_000 + i, "tiny") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 10
+    out = cap_per_group(df, "source", cap, "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append((r.rank_in_group, r.doc_id))
+    assert sorted(r for r, _ in per["hot"]) == list(range(1, cap + 1))
+    assert sorted(r for r, _ in per["mid"]) == list(range(1, cap + 1))
+    assert sorted(r for r, _ in per["tiny"]) == [1, 2, 3]   # n < cap
+    # bit-identical to the naive whole-group window
+    h = sample_hash("doc_id", "s42")
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    naive = (df.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= cap).collect())
+    want = {}
+    for r in naive:
+        want.setdefault(r.source, []).append((r.rk, r.doc_id))
+    assert {k: sorted(v) for k, v in per.items()} == \
+           {k: sorted(v) for k, v in want.items()}
+
+
+def test_cap_per_group_window_input_is_o_cap(spark):
+    """The scale property: the exact-count threshold grid admits ~2*cap
+    survivors of a 18000-row group into the ranking window, never the
+    whole group."""
+    from rust_chunking_spark.operators.sampling import (cap_per_group,
+                                                        sample_hash)
+
+    rows = [(i, "hot") for i in range(18_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 10
+    out = cap_per_group(df, "source", cap, "doc_id")
+    # re-derive the survivor count: rows whose h8 < the grid threshold the
+    # operator must have chosen (the smallest with exact count >= cap)
+    h8 = F.substring(sample_hash("doc_id", "s42"), 1, 8)
+    from rust_chunking_spark.operators.sampling import hash_threshold
+    grid = [hash_threshold(2.0 ** -j) for j in range(33)]
+    counts = df.agg(*[
+        F.sum(F.when(h8 < F.lit(grid[j]), 1).otherwise(0)).alias(f"m{j}")
+        for j in range(1, 33)]).collect()[0]
+    chosen = max((j for j in range(1, 33) if counts[f"m{j}"] >= cap),
+                 default=0)
+    survivors = counts[f"m{chosen}"] if chosen else 18_000
+    assert cap <= survivors < 6 * cap      # ~2*cap expected, never O(n)
+    assert out.count() == cap              # and the output is still exact
+
+
+def test_ngram_contamination_plants_and_finds_hits(spark):
+    """A doc sharing an 8-gram with the benchmark set is flagged with the
+    right distinct-hit count; clean docs are absent."""
+    from rust_chunking_spark.operators.curation import ngram_contamination
+
+    bench_text = "zero one two three four five six seven eight nine"
+    dirty = "junk padding " + "zero one two three four five six seven " \
+            "more tail words here"
+    dirty2 = bench_text + " " + bench_text     # many overlapping hits
+    clean = "completely different words with no overlap at all present"
+    docs = spark.createDataFrame(
+        [(1, dirty), (2, clean), (3, dirty2)], "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "doc_id long, text string")
+    got = {r.doc_id: r.n_hits
+           for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 1                     # exactly one planted 8-gram
+    # doc3 contains every distinct benchmark 8-gram (3 of them)
+    assert got[3] == 3
+
+
+def test_repetition_signals_values(spark):
+    """Hand-computable repetition signals."""
+    from rust_chunking_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),                    # 4 words, 1 distinct
+         (2, "a b c d"),                    # all distinct
+         (3, "x y x y x y")],               # trigram repeats
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].n_words == 4
+    assert got[1].distinct_word_frac == 0.25
+    assert got[1].top_word_frac == 1.0
+    assert got[1].dup_trigram_frac == 0.5   # trigrams: aaa x2 -> 1 dup of 2
+    assert got[2].distinct_word_frac == 1.0
+    assert got[2].top_word_frac == 0.25
+    assert got[2].dup_trigram_frac == 0.0
+    # doc3 trigrams: xyx yxy xyx yxy -> 4 total, 2 distinct
+    assert got[3].dup_trigram_frac == 0.5
+    assert got[3].top_word_frac == 0.5
+
+
 def test_sampling_fraction_validation():
     import pytest as _pytest
 
