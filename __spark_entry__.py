@@ -90,6 +90,13 @@ def _dim_rows(path: str) -> int:
         import pyarrow.parquet as pq
         files = ([path] if os.path.isfile(path)
                  else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        if not files:
+            # Fail LOUD: an empty glob (typo'd path, nested part dirs)
+            # would otherwise return 0 and silently invert the guard into
+            # an unconditional broadcast hint — the exact OOM it prevents.
+            raise FileNotFoundError(
+                f"_dim_rows: no parquet files under {path!r}; "
+                f"cannot size the broadcast guard")
         n = sum(pq.read_metadata(f).num_rows for f in files)
         _DIM_ROWS_CACHE[path] = n
     return n
@@ -251,13 +258,9 @@ def _chunk_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_shingle_stats(spark, sf_dir):
     """Word-3-gram shingle stats per doc (n-gram dedup building block),
     fully oracle-checkable: DuckDB recomputes via a list comprehension."""
+    from rust_chunking_spark.operators.curation import word_ngrams
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    shingles = F.when(n >= 3, F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = word_ngrams("text", 3)
     return d.select(
         "doc_id",
         F.size(shingles).alias("n_shingles"),
@@ -533,13 +536,10 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     # AQE runs plain shuffle joins instead of a hard-hinted OOM.
     ids = (cand.select(F.col("a").alias("doc_id"))
            .union(cand.select(F.col("b").alias("doc_id"))).distinct())
-    shingles = F.when(
-        F.size(F.split(F.col("text"), " ")) >= 3,
-        F.expr("transform(sequence(1, size(split(text, ' ')) - 2),"
-               " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
-    ).otherwise(F.array().cast("array<string>"))
+    from rust_chunking_spark.operators.curation import word_ngrams
     sh = (d.join(_bcast_if(ids, 2 * n_cand), "doc_id", "left_semi")
-          .select("doc_id", F.array_distinct(shingles).alias("sh")))
+          .select("doc_id", F.array_distinct(word_ngrams("text", 3))
+                  .alias("sh")))
     pairs = (sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
              .join(_bcast_if(cand, n_cand), "a")
              .join(sh.select(F.col("doc_id").alias("b"),
@@ -663,6 +663,36 @@ def _q_repetition(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return repetition_signals(d).orderBy("doc_id")
+
+
+#: training-sequence length for the packing query: small enough that most
+#: synthetic docs (10-99 words) straddle at least one boundary
+PACK_SEQ_LEN = 128
+
+
+def _q_packed_sequences(spark, sf_dir):
+    """Training-sequence packing (operators/packing.py: pack_sequences):
+    per document, its global token offset and first/last sequence index in
+    a deterministic concatenate-and-split packing — the step between
+    curation and the training run. Two-phase running sum: per-hash-shard
+    windows (bounded input) + a 256-row base-offset aggregate; bit-equal
+    to the one-task global window the oracle runs."""
+    from rust_chunking_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, PACK_SEQ_LEN).orderBy("doc_id")
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Composed C4/Gopher quality verdict (operators/curation.py:
+    quality_filter): keep/drop per doc with the comma-joined failed-rule
+    names — the pre-filter gate a curation run applies before any
+    model-based scoring. Row-local CASE logic over repetition_signals:
+    zero extra shuffles."""
+    from rust_chunking_spark.operators.curation import quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_filter(d).orderBy("doc_id")
 
 
 def _q_langid(spark, sf_dir):
@@ -903,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_docs": _q_source_capped,
         "contamination_hits": _q_contamination,
         "doc_repetition": _q_repetition,
+        "packed_sequences": _q_packed_sequences,
+        "quality_verdicts": _q_quality_filter,
     })
     return q
 
@@ -1237,4 +1269,10 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY doc_id")
     sql["doc_repetition"] = (repetition_signals_sql("documents")
                              + " ORDER BY doc_id")
+    from rust_chunking_spark.operators.curation import quality_filter_sql
+    from rust_chunking_spark.operators.packing import pack_sequences_sql
+    sql["packed_sequences"] = (pack_sequences_sql("documents", PACK_SEQ_LEN)
+                               + " ORDER BY doc_id")
+    sql["quality_verdicts"] = (quality_filter_sql("documents")
+                               + " ORDER BY doc_id")
     return sql

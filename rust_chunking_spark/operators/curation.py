@@ -24,14 +24,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 def word_ngrams(text_col: str, n: int) -> F.Column:
     """Word n-grams of a whitespace-tokenized text column as
     ``array<string>`` (empty when the doc has fewer than n words) —
-    JVM-side via transform/sequence/slice, the same higher-order-function
-    shape as the shingle operators."""
-    words = F.split(F.col(text_col), " ")
-    return F.when(
-        F.size(words) >= n,
-        F.expr(f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-               f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))")
-    ).otherwise(F.array().cast("array<string>"))
+    JVM-side via transform/sequence/slice.
+
+    The split array is bound ONCE per row as a lambda variable (the
+    array-wrap + transform idiom): Catalyst does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas, so referencing
+    ``split(text)`` directly inside the per-ngram lambda re-tokenizes the
+    whole document for every emitted n-gram — O(words^2) per doc. With the
+    binding, per-element work is an O(n) slice."""
+    return F.expr(_word_ngrams_sql(text_col, n))
+
+
+def _word_ngrams_sql(text_col: str, n: int) -> str:
+    """Spark-SQL string form of :func:`word_ngrams` (split bound once)."""
+    return (
+        f"flatten(transform(array(split({text_col}, ' ')), ws ->"
+        f" if(size(ws) >= {n},"
+        f" transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(ws, i, {n}))),"
+        f" cast(array() as array<string>))))")
 
 
 def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
@@ -107,18 +118,26 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     all keyed by (id, word) then id: linear, skew-free (a document is one
     group; no document is 100 TB). Ratios are rounded to 4 decimals so
     the DuckDB twin compares exactly.
+
+    Each signal column is ONE self-contained expression that binds its
+    split/trigram array once (array-wrap + transform): a shared Column
+    object referenced from several select expressions is re-evaluated per
+    reference — Catalyst has no cross-expression CSE here — which for the
+    trigram array meant three O(words^2) passes per row.
     """
     words = F.split(F.col(text_col), " ")
-    tri = word_ngrams(text_col, 3)
+    dup_tri = F.expr(
+        f"transform(array({_word_ngrams_sql(text_col, 3)}), tri ->"
+        f" if(size(tri) > 0,"
+        f" round((size(tri) - size(array_distinct(tri))) / size(tri), 4),"
+        f" cast(0.0 as double)))[0]")
     base = docs.select(
         F.col(id_col).alias("id"),
         F.size(words).alias("n_words"),
-        F.round(F.size(F.array_distinct(words)) / F.size(words), 4)
+        F.expr(f"transform(array(split({text_col}, ' ')), ws ->"
+               f" round(size(array_distinct(ws)) / size(ws), 4))[0]")
         .alias("distinct_word_frac"),
-        F.when(F.size(tri) > 0,
-               F.round((F.size(tri) - F.size(F.array_distinct(tri)))
-                       / F.size(tri), 4))
-        .otherwise(F.lit(0.0)).alias("dup_trigram_frac"))
+        dup_tri.alias("dup_trigram_frac"))
     counts = (docs.select(F.col(id_col).alias("id"),
                           F.explode(F.split(F.col(text_col), " "))
                           .alias("w"))
@@ -160,4 +179,79 @@ def repetition_signals_sql(docs_table: str, id_col: str = "doc_id",
       SELECT base.id AS {id_col}, n_words, distinct_word_frac,
              top_word_frac, dup_trigram_frac
       FROM base JOIN top USING (id)
+    """
+
+
+#: Default quality-rule thresholds (Gopher/C4-flavored). Keys are the rule
+#: names emitted in ``reasons``; evaluation/emission order is fixed
+#: alphabetical so both engines build the identical reasons string.
+QUALITY_RULES = {
+    "low_distinct": 0.35,   # distinct_word_frac <  threshold
+    "repetitive": 0.02,     # dup_trigram_frac   >  threshold
+    "too_long": 100_000,    # n_words            >  threshold
+    "too_short": 25,        # n_words            <  threshold
+    "top_heavy": 0.15,      # top_word_frac      >  threshold
+}
+
+
+def quality_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   rules: dict | None = None) -> DataFrame:
+    """Composed keep/drop quality verdict per document — the C4/Gopher
+    pre-filter pipeline as one operator: ``(id, n_words, keep, reasons)``
+    where ``reasons`` is the comma-joined (alphabetical) list of failed
+    rule names, empty when the doc passes.
+
+    Built on :func:`repetition_signals` (one linear pass + one skinny
+    per-doc aggregate); the verdict itself is row-local CASE logic, so the
+    composition adds zero shuffles. ``reasons`` is a STRING (not an array)
+    so the DuckDB twin compares byte-identically at the driver's
+    value-hash level.
+    """
+    r = dict(QUALITY_RULES, **(rules or {}))
+    sig = repetition_signals(docs, id_col=id_col, text_col=text_col)
+    checks = [
+        ("low_distinct",
+         F.col("distinct_word_frac") < r["low_distinct"]),
+        ("repetitive", F.col("dup_trigram_frac") > r["repetitive"]),
+        ("too_long", F.col("n_words") > r["too_long"]),
+        ("too_short", F.col("n_words") < r["too_short"]),
+        ("top_heavy", F.col("top_word_frac") > r["top_heavy"]),
+    ]
+    reasons = F.concat_ws(",", *[
+        F.when(cond, F.lit(name)) for name, cond in checks])
+    return sig.select(
+        F.col(id_col), "n_words",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))
+
+
+def quality_filter_sql(docs_table: str, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       rules: dict | None = None) -> str:
+    """ANSI-SQL twin of :func:`quality_filter` (DuckDB oracle): the
+    repetition-signal CTEs wrapped in the same fixed-order CASE checks;
+    NULLs drop out of concat_ws on the Spark side and are filtered before
+    joining here — identical strings either way."""
+    r = dict(QUALITY_RULES, **(rules or {}))
+    sig = repetition_signals_sql(docs_table, id_col=id_col,
+                                 text_col=text_col)
+    checks = [
+        ("low_distinct", f"distinct_word_frac < {r['low_distinct']}"),
+        ("repetitive", f"dup_trigram_frac > {r['repetitive']}"),
+        ("too_long", f"n_words > {r['too_long']}"),
+        ("too_short", f"n_words < {r['too_short']}"),
+        ("top_heavy", f"top_word_frac > {r['top_heavy']}"),
+    ]
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in checks)
+    return f"""
+      WITH sig AS ({sig}),
+      v AS (
+        SELECT {id_col}, n_words,
+               COALESCE(array_to_string(
+                 list_filter([{cases}], x -> x IS NOT NULL), ','), '')
+                 AS reasons
+        FROM sig)
+      SELECT {id_col}, n_words, reasons = '' AS keep, reasons FROM v
     """

@@ -774,3 +774,118 @@ def test_hash_sample_fraction_one_keeps_everything(spark):
     df = spark.range(0, 500).withColumn("doc_id", F.col("id"))
     assert hash_sample(df, 1.0, "doc_id").count() == 500
     assert hash_sample(df, 0.0, "doc_id").count() == 0
+
+
+# ------------------------------------------------------------ pack_sequences
+
+
+def _naive_pack(spark, docs, seq_len, seed="pack"):
+    """One-task global window — the spec pack_sequences must equal."""
+    from pyspark.sql import Window
+
+    from rust_chunking_spark.operators.sampling import sample_hash
+
+    base = docs.select(
+        F.col("doc_id").alias("id"), sample_hash("doc_id", seed).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    w = (Window.orderBy("h", "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("e", F.sum("n_tokens").over(w))
+            .select(F.col("id").alias("doc_id"), "n_tokens",
+                    (F.col("e") - F.col("n_tokens")).alias("offset_start"),
+                    F.expr(f"(e - n_tokens) DIV {seq_len}").alias("first_seq"),
+                    F.expr(f"(e - 1) DIV {seq_len}").alias("last_seq")))
+
+
+def test_pack_sequences_matches_global_window(spark):
+    """The two-phase sharded running sum must be bit-identical to the
+    single global window, for every shard width (the shard key is a prefix
+    of the sort key, so the decomposition is exact by construction)."""
+    from rust_chunking_spark.operators.packing import pack_sequences
+
+    docs = _doc_corpus(spark)
+    want = sorted(map(tuple, _naive_pack(spark, docs, 64).collect()))
+    for shard_hex in (1, 2, 3):
+        got = sorted(map(tuple, pack_sequences(
+            docs, 64, shard_hex=shard_hex).collect()))
+        assert got == want, shard_hex
+    # partitioning-independence: same assignment after a repartition
+    got = sorted(map(tuple, pack_sequences(
+        docs.repartition(13), 64).collect()))
+    assert got == want
+
+
+def test_pack_sequences_offsets_tile_the_token_stream(spark):
+    """Offsets must be a gapless tiling: sorted by offset_start, each doc
+    starts where the previous ended; the stream length is the token total;
+    every sequence index up to the last is covered."""
+    from rust_chunking_spark.operators.packing import pack_sequences
+
+    docs = _doc_corpus(spark)
+    seq_len = 50
+    rows = sorted(pack_sequences(docs, seq_len).collect(),
+                  key=lambda r: r.offset_start)
+    pos = 0
+    covered = set()
+    for r in rows:
+        assert r.offset_start == pos
+        assert r.first_seq == pos // seq_len
+        assert r.last_seq == (pos + r.n_tokens - 1) // seq_len
+        covered.update(range(r.first_seq, r.last_seq + 1))
+        pos += r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    assert pos == total
+    assert covered == set(range((total - 1) // seq_len + 1))
+
+
+def test_pack_sequences_validation():
+    from rust_chunking_spark.operators.packing import pack_sequences
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(None, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(None, 128, shard_hex=0)
+
+
+# ------------------------------------------------------------ quality_filter
+
+
+def test_quality_filter_verdicts_per_rule(spark):
+    """One doc per failure mode + one clean doc: each verdict carries
+    exactly the failed rule names (alphabetical, comma-joined)."""
+    from rust_chunking_spark.operators.curation import quality_filter
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, clean),                                     # keeps
+        (1, "a b c"),                                   # too_short (3 words)
+        (2, " ".join(["dup"] * 60)),                    # low_distinct +
+                                                        # repetitive + top_heavy
+        (3, " ".join(f"w{i % 40}" for i in range(200))),  # low_distinct
+                                                          # (+ repetitive:
+                                                          # cycle repeats)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[0].keep and out[0].reasons == ""
+    assert not out[1].keep and "too_short" in out[1].reasons
+    assert out[2].reasons == "low_distinct,repetitive,top_heavy"
+    assert not out[3].keep
+    assert "low_distinct" in out[3].reasons
+    # reasons are alphabetical on every row
+    for r in out.values():
+        parts = r.reasons.split(",") if r.reasons else []
+        assert parts == sorted(parts)
+
+
+def test_quality_filter_threshold_override(spark):
+    """Rule thresholds are overridable; unknown thresholds keep defaults."""
+    from rust_chunking_spark.operators.curation import quality_filter
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(60)))],
+        "doc_id long, text string")
+    strict = quality_filter(df, rules={"too_short": 100}).collect()[0]
+    assert not strict.keep and strict.reasons == "too_short"

@@ -200,3 +200,30 @@ def test_hash_sample_is_shuffle_free_scan_filter(spark):
     df = hash_sample(spark.read.parquet(f"{SF}/documents.parquet"),
                      0.25, "doc_id").select("doc_id", "lang")
     assert count_exchanges(df) == 0
+
+
+def test_pack_sequences_big_window_is_shard_partitioned(spark):
+    """The corpus-sized running-sum window must be PARTITIONED (by the
+    hash-prefix shard) — a global ORDER BY window would drag the whole
+    corpus through one task at 100 TB. The only unpartitioned window
+    allowed is the one over the 16^shard_hex-row base-offset aggregate."""
+    from rust_chunking_spark.operators.packing import pack_sequences
+
+    import re
+
+    df = pack_sequences(spark.read.parquet(f"{SF}/documents.parquet"), 128)
+    plan = explain_str(df)
+    # windowspecdefinition(partCols..., orderCols ASC/DESC..., frame): a
+    # spec whose first argument is NOT an ordering is partitioned.
+    specs = [m.group(1) for m in
+             re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)]
+    assert len(specs) == 2, plan
+    part = [s for s in specs
+            if not s.split(",")[0].strip().endswith(("ASC NULLS FIRST",
+                                                     "DESC NULLS LAST"))]
+    unpart = [s for s in specs if s not in part]
+    # the corpus-wide running sum is partitioned by the hash-prefix shard
+    assert len(part) == 1 and part[0].split(",")[0].startswith("__shard")
+    # the only unpartitioned window merely orders the 16^shard_hex-row
+    # base-offset AGGREGATE by shard (skinny by construction)
+    assert len(unpart) == 1 and unpart[0].split(" ")[0].startswith("__shard")

@@ -36,8 +36,11 @@ def leg(tree: str, wal: str, events: int, cpus: int, lake: str) -> dict:
                        timeout=3600)
     line = [l for l in p.stdout.splitlines() if l.startswith("REPLAY_JSON:")]
     if not line:
+        # Spark/py4j failures often land on stdout (log4j console) — print
+        # both tails, as bench.py's replay_at does.
+        print(p.stdout[-2000:], file=sys.stderr)
         print(p.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError(f"leg failed in {tree}")
+        raise RuntimeError(f"leg failed in {tree} (rc {p.returncode})")
     r = json.loads(line[0][len("REPLAY_JSON:"):])
     r["wall"] = round(time.perf_counter() - t0, 1)
     return r
