@@ -42,6 +42,12 @@ def get_spark(app_name: str = "rust-chunking-spark", cpus: int | None = None,
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    # Opt-in parquet codec override (A/B'd in BENCH.md round 6): the write
+    # phase dominates the replay hot path, and the codec sets its
+    # CPU-vs-bytes trade. Default (unset) keeps Spark's snappy.
+    codec = os.environ.get("SPARK_GRAFT_PARQUET_CODEC")
+    if codec:
+        b = b.config("spark.sql.parquet.compression.codec", codec)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
