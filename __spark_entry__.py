@@ -695,6 +695,51 @@ def _q_quality_filter(spark, sf_dir):
     return quality_filter(d).orderBy("doc_id")
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing / rolling window-min
+    (operators/text_dedup.py: winnow_fingerprints, the MOSS scheme): per
+    doc, the distinct window minima over word-4-gram hashes — the
+    position-independent fingerprint set plagiarism/overlap detection
+    groups by. Entirely row-local higher-order functions: zero shuffles,
+    scan-speed at 100 TB."""
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return (winnow_fingerprints(d)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id", "fp"))
+
+
+#: deterministic PII injection for the redaction query (the synthetic
+#: corpus contains none): one SQL string, valid verbatim in BOTH Spark SQL
+#: and DuckDB, so the twins redact the identical augmented text
+PII_AUG_SQL = (
+    "concat_ws(' ', text, "
+    "case when doc_id % 3 = 0 then"
+    " concat('user', cast(doc_id as string), '@example.com') end, "
+    "case when doc_id % 4 = 0 then"
+    " concat('10.', cast(doc_id % 256 as string),"
+    " '.0.', cast(doc_id % 40 as string)) end, "
+    "case when doc_id % 5 = 0 then"
+    " cast(1000000000 + doc_id as string) end)")
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (operators/curation.py: redact_pii): staged
+    count-and-replace of emails, IPv4s, and long id-number runs — the
+    redaction pass a web corpus gets before training. Row-local regex
+    chains (Java-regex/RE2-portable patterns), zero shuffles; the corpus
+    is deterministically PII-augmented (PII_AUG_SQL) on both sides so the
+    oracle checks real replacements, including the docs left untouched."""
+    from rust_chunking_spark.operators.curation import redact_pii
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(PII_AUG_SQL).alias("text")))
+    return (redact_pii(d)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -935,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_repetition,
         "packed_sequences": _q_packed_sequences,
         "quality_verdicts": _q_quality_filter,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "pii_redaction": _q_pii_redaction,
     })
     return q
 
@@ -1275,4 +1322,16 @@ def oracle_sql() -> dict[str, str]:
                                + " ORDER BY doc_id")
     sql["quality_verdicts"] = (quality_filter_sql("documents")
                                + " ORDER BY doc_id")
+    from rust_chunking_spark.operators.curation import redact_pii_sql
+    from rust_chunking_spark.operators.text_dedup import (
+        winnow_fingerprints_sql)
+    sql["winnow_fingerprints"] = (
+        "SELECT id AS doc_id, fp FROM ("
+        + winnow_fingerprints_sql("documents")
+        + ") ORDER BY doc_id, fp")
+    sql["pii_redaction"] = (
+        "SELECT id AS doc_id, n_email, n_ipv4, n_idnum, clean_text FROM ("
+        + redact_pii_sql(
+            f"(SELECT doc_id, {PII_AUG_SQL} AS text FROM documents)")
+        + ") ORDER BY doc_id")
     return sql

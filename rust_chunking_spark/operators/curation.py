@@ -255,3 +255,66 @@ def quality_filter_sql(docs_table: str, id_col: str = "doc_id",
         FROM sig)
       SELECT {id_col}, n_words, reasons = '' AS keep, reasons FROM v
     """
+
+
+#: PII patterns, applied IN THIS ORDER, each stage on the previous stage's
+#: redacted output (so an email's digit run is never double-counted as an
+#: id number). Restricted to syntax with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): \b, \d, bounded/unbounded repetition,
+#: character classes — no backrefs, no lookaround.
+PII_STAGES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass a web corpus gets
+    before training: ``(id, n_email, n_ipv4, n_idnum, clean_text)`` where
+    each count is the number of spans REPLACED at that stage and
+    ``clean_text`` is the fully redacted text.
+
+    Stages run sequentially (:data:`PII_STAGES` order), each counting and
+    replacing on the previous stage's output, which makes the counts a
+    partition of the redacted spans: no span is counted twice even where
+    patterns overlap textually (email local parts contain digit runs).
+
+    Plan shape: row-local ``regexp_extract_all`` + ``regexp_replace``
+    chains inside whole-stage codegen — zero shuffles, scan-speed at
+    100 TB. Java regex and RE2 agree on every construct used, so the
+    DuckDB twin (:func:`redact_pii_sql`) matches byte-for-byte.
+    """
+    cur = "__t0"
+    out = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias(cur))
+    for i, (name, pat, token) in enumerate(PII_STAGES):
+        nxt = f"__t{i + 1}"
+        out = (out.withColumn(
+                   f"n_{name}",
+                   F.size(F.regexp_extract_all(F.col(cur), F.lit(pat),
+                                               F.lit(0))))
+               .withColumn(nxt, F.regexp_replace(F.col(cur), pat, token)))
+        cur = nxt
+    return out.select("id", *[f"n_{n}" for n, _, _ in PII_STAGES],
+                      F.col(cur).alias("clean_text"))
+
+
+def redact_pii_sql(docs_table: str, id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`redact_pii` (DuckDB oracle): the same
+    staged count-then-replace CTE chain ('g' flag = replace all, matching
+    Spark's regexp_replace default)."""
+    ctes = [f"s0 AS (SELECT {id_col} AS id, {text_col} AS t0"
+            f" FROM {docs_table})"]
+    for i, (name, pat, token) in enumerate(PII_STAGES):
+        ctes.append(
+            f"s{i + 1} AS (SELECT *,"
+            f" len(regexp_extract_all(t{i}, '{pat}')) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1}"
+            f" FROM s{i})")
+    n = len(PII_STAGES)
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_STAGES)
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT id, {cols}, t{n} AS clean_text FROM s{n}")

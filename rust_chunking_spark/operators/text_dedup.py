@@ -504,3 +504,75 @@ def _star_components(canon: DataFrame, max_rounds: int = 50) -> DataFrame:
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("lab"))
     return (all_nodes.join(labels, "node", "left")
             .select("node", F.coalesce("lab", "node").alias("cluster_id")))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, and select each window's
+    minimum; the selected hash set is the document's fingerprint.
+    Output: ``(id, fp)`` rows, one per distinct selected fingerprint.
+
+    Guarantees (from the paper): any shared run of ``k + w - 1`` words
+    between two documents yields at least one shared fingerprint, and the
+    selected set is position-independent — the same text fingerprints
+    identically wherever it appears. Documents with at least ``k`` words
+    but fewer than ``w`` grams contribute their single minimum gram hash
+    (the short-doc degenerate window); documents under ``k`` words emit
+    nothing.
+
+    Gram hashes are the first 16 hex chars of md5 over the
+    space-joined gram (same portable-hash idiom as the sampling
+    operators) — window minima compare lexicographically on the
+    fixed-width hex, so selection is engine-independent and the DuckDB
+    twin (:func:`winnow_fingerprints_sql`) reproduces the exact set.
+
+    Plan shape: entirely row-local higher-order functions — hash array
+    bound once per row (array-wrap + transform, see
+    ``curation.word_ngrams`` for why), window minima O(grams x w) inside
+    whole-stage codegen, then one explode. ZERO shuffles: at 100 TB this
+    runs at scan speed; downstream consumers group by ``fp`` (one skinny
+    two-column shuffle) to find sharing documents.
+    """
+    from .curation import _word_ngrams_sql
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    hashes = (f"transform({_word_ngrams_sql(text_col, k)},"
+              f" g -> substring(md5(g), 1, 16))")
+    fps = (
+        f"flatten(transform(array({hashes}), hs -> "
+        f"case when size(hs) = 0 then cast(array() as array<string>) "
+        f"when size(hs) < {w} then array(array_min(hs)) "
+        f"else array_distinct(transform(sequence(1, size(hs) - {w - 1}),"
+        f" j -> array_min(slice(hs, j, {w})))) end))")
+    return docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.expr(fps)).alias("fp"))
+
+
+def winnow_fingerprints_sql(docs_table: str, k: int = 4, w: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`winnow_fingerprints` (DuckDB oracle): the
+    same gram-hash list via a list comprehension, the same window-min
+    selection — one global ORDER-free set compare."""
+    t = f"string_split({text_col}, ' ')"
+    return f"""
+      WITH g AS (
+        SELECT {id_col} AS id,
+               [substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 16)
+                for i in generate_series(1, len(t) - {k - 1})] AS hs
+        FROM (SELECT {id_col}, {t} AS t FROM {docs_table})
+        WHERE len(t) >= {k}),
+      f AS (
+        SELECT id,
+               CASE WHEN len(hs) < {w} THEN [list_min(hs)]
+                    ELSE list_distinct(
+                      [list_min(hs[j:j+{w - 1}])
+                       for j in generate_series(1, len(hs) - {w - 1})])
+               END AS fps
+        FROM g)
+      SELECT id, UNNEST(fps) AS fp FROM f
+    """

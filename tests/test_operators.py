@@ -889,3 +889,117 @@ def test_quality_filter_threshold_override(spark):
         "doc_id long, text string")
     strict = quality_filter(df, rules={"too_short": 100}).collect()[0]
     assert not strict.keep and strict.reasons == "too_short"
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+
+def _py_winnow(text: str, k: int = 4, w: int = 5) -> set[str]:
+    """Independent plain-Python winnowing reference (fingerprint SET)."""
+    import hashlib
+
+    words = text.split(" ")
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+
+    samples = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "a b c d",        # exactly k words -> one gram, degenerate window
+        "a b c",          # under k words -> no fingerprints
+        " ".join(["rep"] * 40),   # fully repetitive -> 1 distinct fp
+        " ".join(f"w{i % 7}" for i in range(60)),
+    ]
+    rows = [(i, s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for i, s in rows:
+        assert got.get(i, set()) == _py_winnow(s), f"doc {i}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Schleimer et al.: any shared run of k+w-1 words yields at least one
+    shared fingerprint, wherever it sits in each document."""
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+
+    shared = "common run of exactly eight shared words here"  # k+w-1 = 8
+    a = "alpha beta gamma delta " + shared + " tail one two"
+    b = shared + " totally different suffix here now yes indeed"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    fps: dict[int, set[str]] = {0: set(), 1: set()}
+    for r in winnow_fingerprints(df).collect():
+        fps[r.id].add(r.fp)
+    assert fps[0] & fps[1], "shared 8-word run must share a fingerprint"
+
+
+def test_winnow_position_independent(spark):
+    """The same text fingerprints identically regardless of partitioning
+    (sampling-by-value property shared with the sampling operators)."""
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 11}" for i in range(50))
+    df1 = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    df8 = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id long, text string"
+    ).repartition(8)
+    one = {r.fp for r in winnow_fingerprints(df1).collect()}
+    for did, grp in __import__("itertools").groupby(
+            sorted(winnow_fingerprints(df8).collect(),
+                   key=lambda r: r.id), key=lambda r: r.id):
+        assert {r.fp for r in grp} == one
+
+
+# ------------------------------------------------------- PII redaction
+
+
+def test_redact_pii_values_and_stage_order(spark):
+    from rust_chunking_spark.operators.curation import redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@mail.example.co or 10.1.2.3 ref 1234567890"),
+        (1, "no pii here at all"),
+        # the email's 9-digit local part must NOT count as an id number
+        (2, "u123456789@x.io and 999999999"),
+        (3, "two mails a@x.org b@y.net ips 8.8.8.8 192.168.0.255"),
+        (4, "short digits 12345678 are not an id"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in redact_pii(df).collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_idnum) == (1, 1, 1)
+    assert got[0].clean_text == "mail <EMAIL> or <IP> ref <ID>"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_idnum) == (0, 0, 0)
+    assert got[1].clean_text == rows[1][1]
+    assert (got[2].n_email, got[2].n_idnum) == (1, 1)
+    assert got[2].clean_text == "<EMAIL> and <ID>"
+    assert (got[3].n_email, got[3].n_ipv4) == (2, 2)
+    assert got[4].n_idnum == 0 and "12345678" in got[4].clean_text
+
+
+def test_redact_pii_matches_duckdb_twin(spark):
+    """Cross-engine regex parity on generated text: Java regex (Spark) and
+    RE2 (DuckDB) must agree on every pattern over the augmented corpus."""
+    import duckdb
+
+    from rust_chunking_spark.operators.curation import (
+        redact_pii, redact_pii_sql)
+
+    rows = [(i,
+             f"doc {i} user{i}@ex{i % 3}.org 10.{i % 256}.0.{i % 40} "
+             f"{1000000000 + i} plain tail") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in redact_pii(df).collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = sorted(con.sql(redact_pii_sql("docs")).fetchall())
+    assert got == exp
