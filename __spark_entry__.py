@@ -741,6 +741,34 @@ def _q_pii_redaction(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: deterministic dirt for the normalization query (the synthetic corpus is
+#: already clean): tabs, a bell control, a combining acute (NFC-composable),
+#: and edge whitespace on every even doc — one SQL string valid verbatim in
+#: both engines (chr() stays in ASCII range where Spark and DuckDB agree)
+NORM_AUG_SQL = (
+    "case when doc_id % 2 = 0 then"
+    " concat('  ', text, chr(9), chr(9), 'é', chr(7), ' end  ')"
+    " else text end")
+
+
+def _q_normalized_docs(spark, sf_dir):
+    """Text normalization (operators/curation.py: normalize_text): NFC +
+    control strip + whitespace collapse + trim — the canonicalization pass
+    that precedes dedup/fingerprinting so byte-different, visually-equal
+    pages hash identically. Arrow-batched NFC (bit-identical to DuckDB's
+    nfc_normalize) + JVM regex stages; row-local, zero shuffles. Every
+    even doc is deterministically dirtied (NORM_AUG_SQL) on both sides so
+    the oracle checks real normalization work AND untouched-doc
+    passthrough."""
+    from rust_chunking_spark.operators.curation import normalize_text
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(NORM_AUG_SQL).alias("text")))
+    return (normalize_text(d)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -983,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_verdicts": _q_quality_filter,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "pii_redaction": _q_pii_redaction,
+        "normalized_docs": _q_normalized_docs,
     })
     return q
 
@@ -1334,5 +1363,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id AS doc_id, n_email, n_ipv4, n_idnum, clean_text FROM ("
         + redact_pii_sql(
             f"(SELECT doc_id, {PII_AUG_SQL} AS text FROM documents)")
+        + ") ORDER BY doc_id")
+    from rust_chunking_spark.operators.curation import normalize_text_sql
+    sql["normalized_docs"] = (
+        "SELECT id AS doc_id, norm_text, changed FROM ("
+        + normalize_text_sql(
+            f"(SELECT doc_id, {NORM_AUG_SQL} AS text FROM documents)")
         + ") ORDER BY doc_id")
     return sql

@@ -18,7 +18,9 @@ Python UDF in any path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def word_ngrams(text_col: str, n: int) -> F.Column:
@@ -318,3 +320,49 @@ def redact_pii_sql(docs_table: str, id_col: str = "doc_id",
     cols = ", ".join(f"n_{name}" for name, _, _ in PII_STAGES)
     return (f"WITH {', '.join(ctes)} "
             f"SELECT id, {cols}, t{n} AS clean_text FROM s{n}")
+
+
+#: normalization regexes — explicit character classes because Java regex
+#: and RE2 disagree on \s (Java includes \x0b, RE2 does not): controls =
+#: C0 minus tab/newline/CR, plus DEL; whitespace = the ASCII run set with
+#: \x0b/\x0c handled by the control strip that precedes it
+_CTRL_PAT = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_PAT = r"[ \t\n\r]+"
+
+
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Text normalization — the canonicalization pass every curation
+    pipeline runs BEFORE dedup/fingerprinting so that byte-different,
+    visually-identical pages hash identically: Unicode NFC composition,
+    control-character strip (C0 minus tab/newline/CR, plus DEL), ASCII
+    whitespace-run collapse to single spaces, and edge trim. Output:
+    ``(id, norm_text, changed)``.
+
+    NFC runs as an Arrow-batched ``pandas_udf`` (Spark has no built-in
+    Unicode normalizer; pandas ``str.normalize`` is the stdlib
+    ``unicodedata`` NFC, bit-identical to DuckDB's ``nfc_normalize``, so
+    the twin (:func:`normalize_text_sql`) stays exact); the strip/collapse
+    stages are JVM ``regexp_replace``. Everything is row-local — zero
+    shuffles, scan-speed at 100 TB.
+    """
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    src = F.col(text_col)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(_nfc(src), _CTRL_PAT, ""), _WS_PAT, " "))
+    return docs.select(
+        F.col(id_col).alias("id"), norm.alias("norm_text"),
+        (norm != src).alias("changed"))
+
+
+def normalize_text_sql(docs_table: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`normalize_text` (DuckDB oracle)."""
+    norm = (f"trim(regexp_replace(regexp_replace("
+            f"nfc_normalize({text_col}), '{_CTRL_PAT}', '', 'g'),"
+            f" '{_WS_PAT}', ' ', 'g'))")
+    return (f"SELECT {id_col} AS id, {norm} AS norm_text,"
+            f" {norm} <> {text_col} AS changed FROM {docs_table}")

@@ -1003,3 +1003,44 @@ def test_redact_pii_matches_duckdb_twin(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
     exp = sorted(con.sql(redact_pii_sql("docs")).fetchall())
     assert got == exp
+
+
+# ---------------------------------------------------- text normalization
+
+
+def test_normalize_text_values(spark):
+    from rust_chunking_spark.operators.curation import normalize_text
+
+    rows = [
+        (0, '  hello   world  '),
+        (1, 'clean text'),
+        (2, 'é\t\ttab\x07bell'),       # NFC composes, strips bell
+        (3, 'line1\nline2\r'),
+        (4, 'vtab\x0bformfeed\x0cdel\x7fend'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in normalize_text(df).collect()}
+    assert got[0].norm_text == "hello world" and got[0].changed
+    assert got[1].norm_text == "clean text" and not got[1].changed
+    assert got[2].norm_text == "é tab" + "bell" and got[2].changed
+    assert got[3].norm_text == "line1 line2" and got[3].changed
+    assert got[4].norm_text == "vtabformfeeddelend" and got[4].changed
+
+
+def test_normalize_text_matches_duckdb_twin(spark):
+    """Cross-engine parity incl. the \\s divergence (Java includes \\x0b,
+    RE2 does not) that the explicit character classes exist to avoid."""
+    import duckdb
+
+    from rust_chunking_spark.operators.curation import (
+        normalize_text, normalize_text_sql)
+
+    rows = [(i, f"w{i} ́x\tc{chr(7 + i % 3)} {'  ' * (i % 4)}tail")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in normalize_text(df).collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = sorted(con.sql(normalize_text_sql("docs")).fetchall())
+    assert got == exp
