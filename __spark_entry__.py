@@ -769,6 +769,36 @@ def _q_normalized_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: deterministic URL construction for the canonicalization query (the
+#: documents table has no url column): mixed-case scheme/host, default and
+#: non-default ports, unsorted + tracking query params, fragments — one SQL
+#: string valid verbatim in both engines
+URL_AUG_SQL = (
+    "concat('HTTP://', source, '.Example.COM',"
+    " case when doc_id % 4 = 0 then ':80' when doc_id % 4 = 1 then ':8080'"
+    " else '' end,"
+    " case when doc_id % 3 = 0 then '' else concat('/p/',"
+    " cast(doc_id as string)) end,"
+    " case when doc_id % 2 = 0 then"
+    " concat('?z=', cast(doc_id % 7 as string), '&utm_source=x&a=1')"
+    " else '' end,"
+    " case when doc_id % 5 = 0 then '#frag' else '' end)")
+
+
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (operators/urls.py: canonicalize_url): the
+    key-normalization pass a web-crawl CDC pipeline applies before keying
+    by url — lowercase scheme/host, strip fragments and default ports,
+    sort query params, drop utm_* tracking params. Row-local JVM
+    regex/array expressions, zero shuffles; URLs are deterministically
+    constructed (URL_AUG_SQL) on both sides to exercise every rule."""
+    from rust_chunking_spark.operators.urls import canonicalize_url
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(URL_AUG_SQL).alias("url")))
+    return canonicalize_url(d).orderBy("doc_id")
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -1012,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "pii_redaction": _q_pii_redaction,
         "normalized_docs": _q_normalized_docs,
+        "canonical_urls": _q_canonical_urls,
     })
     return q
 
@@ -1370,4 +1401,9 @@ def oracle_sql() -> dict[str, str]:
         + normalize_text_sql(
             f"(SELECT doc_id, {NORM_AUG_SQL} AS text FROM documents)")
         + ") ORDER BY doc_id")
+    from rust_chunking_spark.operators.urls import canonicalize_url_sql
+    sql["canonical_urls"] = (
+        f"SELECT doc_id, url, {canonicalize_url_sql('url')} AS canon_url "
+        f"FROM (SELECT doc_id, {URL_AUG_SQL} AS url FROM documents) "
+        f"ORDER BY doc_id")
     return sql

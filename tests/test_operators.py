@@ -1044,3 +1044,52 @@ def test_normalize_text_matches_duckdb_twin(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
     exp = sorted(con.sql(normalize_text_sql("docs")).fetchall())
     assert got == exp
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+def test_canonicalize_url_rules(spark):
+    from rust_chunking_spark.operators.urls import canonicalize_url
+
+    cases = {
+        "HTTP://Example.COM:80/Path?b=2&utm_source=x&a=1#f":
+            "http://example.com/Path?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        "http://example.com:8080/keep": "http://example.com:8080/keep",
+        "http://example.com/p?utm_campaign=c": "http://example.com/p",
+        "HtTpS://MiXeD.Case/UPPER/Path": "https://mixed.case/UPPER/Path",
+        "not-a-url at all": "not-a-url at all",     # passthrough
+        "http://example.com/?z=1&y=2&z=0": "http://example.com/?y=2&z=0&z=1",
+    }
+    rows = [(i, u) for i, u in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.url: r.canon_url for r in canonicalize_url(df).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, u
+
+
+def test_canonicalize_url_matches_duckdb_twin(spark):
+    """Cross-engine parity incl. the empty-query NULL trap (DuckDB's
+    array_to_string([]) is NULL where Spark's array_join is '')."""
+    import duckdb
+
+    from rust_chunking_spark.operators.urls import (
+        canonicalize_url, canonicalize_url_sql)
+
+    rows = [(i,
+             f"HTTP{'S' if i % 2 else ''}://Host{i % 5}.Example.COM"
+             f"{[':80', ':443', ':8080', ''][i % 4]}"
+             f"{'' if i % 3 == 0 else f'/p/{i}'}"
+             f"{'?z=9&utm_x=t&a=1' if i % 2 == 0 else ''}"
+             f"{'#frag' if i % 5 == 0 else ''}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted((r.doc_id, r.canon_url)
+                 for r in canonicalize_url(df).collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(con.sql(
+        f"SELECT doc_id, {canonicalize_url_sql('url')} FROM t").fetchall())
+    assert got == exp
