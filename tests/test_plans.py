@@ -227,3 +227,22 @@ def test_pack_sequences_big_window_is_shard_partitioned(spark):
     # the only unpartitioned window merely orders the 16^shard_hex-row
     # base-offset AGGREGATE by shard (skinny by construction)
     assert len(unpart) == 1 and unpart[0].split(" ")[0].startswith("__shard")
+
+
+def test_round6_rowlocal_operators_are_shuffle_free(spark):
+    """winnow_fingerprints, redact_pii, normalize_text, canonicalize_url
+    all claim scan-speed at 100 TB: zero exchanges in any of their plans
+    (higher-order functions / regex chains / one Arrow-batched UDF — never
+    a repartition, aggregate, or join)."""
+    from rust_chunking_spark.operators.curation import (
+        normalize_text, redact_pii)
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+    from rust_chunking_spark.operators.urls import canonicalize_url
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    urls = docs.select("doc_id",
+                       F.concat(F.lit("http://h"), "source",
+                                F.lit(".com/p?b=2&a=1")).alias("url"))
+    for df in (winnow_fingerprints(docs), redact_pii(docs),
+               normalize_text(docs), canonicalize_url(urls)):
+        assert count_exchanges(df) == 0, explain_str(df)
