@@ -770,13 +770,21 @@ def _q_normalized_docs(spark, sf_dir):
 
 
 #: deterministic URL construction for the canonicalization query (the
-#: documents table has no url column): mixed-case scheme/host, default and
-#: non-default ports, unsorted + tracking query params, fragments — one SQL
-#: string valid verbatim in both engines
+#: documents table has no url column): mixed-case scheme/host, case-
+#: sensitive userinfo (incl. user:pass with the port-after-userinfo trap),
+#: IPv6 bracket hosts, default and non-default ports (':443' lands on both
+#: schemes so the "default for https only" rule is exercised both ways),
+#: unsorted + tracking query params, fragments — one SQL string valid
+#: verbatim in both engines
 URL_AUG_SQL = (
-    "concat('HTTP://', source, '.Example.COM',"
+    "concat("
+    " case when doc_id % 6 < 3 then 'HTTP://' else 'HTTPS://' end,"
+    " case when doc_id % 7 = 0 then 'User:PaSS@'"
+    " when doc_id % 7 = 3 then 'Bob@' else '' end,"
+    " case when doc_id % 11 = 0 then '[2001:DB8::1]'"
+    " else concat(source, '.Example.COM') end,"
     " case when doc_id % 4 = 0 then ':80' when doc_id % 4 = 1 then ':8080'"
-    " else '' end,"
+    " when doc_id % 4 = 2 then ':443' else '' end,"
     " case when doc_id % 3 = 0 then '' else concat('/p/',"
     " cast(doc_id as string)) end,"
     " case when doc_id % 2 = 0 then"

@@ -6,9 +6,12 @@ byte-different spellings of the same resource must canonicalize to one key
 or the lake stores duplicate rows per page. Rules (the conservative,
 semantics-preserving subset of RFC 3986 normalization):
 
-- lowercase the scheme and host (case-insensitive per RFC);
+- lowercase the scheme and host ONLY (case-insensitive per RFC 3986
+  §6.2.2.1); userinfo (``user:pass@``) is case-SENSITIVE and passes
+  through byte-identical;
 - strip the fragment (never sent to the server);
-- strip default ports (``:80`` for http, ``:443`` for https);
+- strip default ports (``:80`` for http, ``:443`` for https) — userinfo-
+  and IPv6-bracket-aware (``[2001:db8::1]:443`` loses the port too);
 - empty path becomes ``/``;
 - sort query parameters byte-lexicographically (order-insensitive on
   virtually all servers; makes ``?a=1&b=2`` and ``?b=2&a=1`` one key) and
@@ -38,12 +41,24 @@ def canonicalize_url(docs: DataFrame, url_col: str = "url",
     URLs; anything else passes through the same steps unharmed — only the
     scheme/authority prefix and query are rewritten)."""
     u = F.regexp_replace(F.col(url_col), r"#.*", "")          # fragment
-    # lowercase scheme://authority, keep the rest byte-identical
-    prefix = F.lower(F.regexp_extract(u, rf"^([^/?#]*://{_AUTH})", 1))
+    # authority = [userinfo@]hostport; only scheme and host are
+    # case-insensitive (RFC 3986 §6.2.2.1) — userinfo carries credentials
+    # and must pass through byte-identical, so split at the LAST @
+    # (greedy .* — RE2 and Java agree) before lowercasing
+    scheme = F.lower(F.regexp_extract(u, r"^([^/?#]*)://", 1))
+    auth = F.regexp_extract(u, rf"^[^/?#]*://({_AUTH})", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    # default ports on the userinfo-free hostport; the bracket alternative
+    # keeps IPv6 hosts ([2001:db8::1]:443) strippable despite inner colons
+    hostport = (
+        F.when(scheme == "http",
+               F.regexp_replace(hostport, r"^(\[[^\]]*\]|[^:]*):80$", "$1"))
+        .when(scheme == "https",
+              F.regexp_replace(hostport, r"^(\[[^\]]*\]|[^:]*):443$", "$1"))
+        .otherwise(hostport))
+    prefix = F.concat(scheme, F.lit("://"), userinfo, hostport)
     rest = F.regexp_replace(u, rf"^[^/?#]*://{_AUTH}", "")
-    # default ports (after lowercasing, so :80 vs :80/ variants unify)
-    prefix = F.regexp_replace(prefix, r"^(http://[^/?#:]*):80$", "$1")
-    prefix = F.regexp_replace(prefix, r"^(https://[^/?#:]*):443$", "$1")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)", 1)
@@ -54,8 +69,9 @@ def canonicalize_url(docs: DataFrame, url_col: str = "url",
     canon = F.concat(prefix, path,
                      F.when(query == "", F.lit(""))
                      .otherwise(F.concat(F.lit("?"), query)))
-    # non-absolute inputs (no ://): prefix extracts empty, rest = whole
-    canon = F.when(prefix == "", F.col(url_col)).otherwise(canon)
+    # non-absolute inputs (no ://) pass through untouched
+    is_abs = F.regexp_extract(u, r"^[^/?#]*://", 0) != ""
+    canon = F.when(is_abs, canon).otherwise(F.col(url_col))
     return docs.withColumn(out_col, canon)
 
 
@@ -63,11 +79,17 @@ def canonicalize_url_sql(expr: str = "url") -> str:
     """DuckDB scalar expression twin of :func:`canonicalize_url` (compose
     into ``SELECT {canonicalize_url_sql('url')} AS canon_url ...``)."""
     u = f"regexp_replace({expr}, '#.*', '')"
-    prefix0 = (f"lower(regexp_extract({u},"
-               f" '^([^/?#]*://{_AUTH})', 1))")
-    prefix = (f"regexp_replace(regexp_replace({prefix0},"
-              f" '^(http://[^/?#:]*):80$', '\\1'),"
-              f" '^(https://[^/?#:]*):443$', '\\1')")
+    scheme = f"lower(regexp_extract({u}, '^([^/?#]*)://', 1))"
+    auth = f"regexp_extract({u}, '^[^/?#]*://({_AUTH})', 1)"
+    userinfo = f"regexp_extract({auth}, '^(.*@)', 1)"
+    hostport0 = f"lower(regexp_replace({auth}, '^.*@', ''))"
+    hostport = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport0},"
+        f" '^(\\[[^\\]]*\\]|[^:]*):80$', '\\1')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hostport0},"
+        f" '^(\\[[^\\]]*\\]|[^:]*):443$', '\\1')"
+        f" ELSE {hostport0} END")
+    prefix = f"({scheme} || '://' || {userinfo} || {hostport})"
     rest = f"regexp_replace({u}, '^[^/?#]*://{_AUTH}', '')"
     path = (f"CASE WHEN regexp_extract({rest}, '^([^?]*)', 1) = ''"
             f" THEN '/' ELSE regexp_extract({rest}, '^([^?]*)', 1) END")
@@ -77,7 +99,8 @@ def canonicalize_url_sql(expr: str = "url") -> str:
              f"string_split(regexp_extract({rest}, '^[^?]*\\?(.*)', 1),"
              f" '&'), p -> p <> '' AND NOT regexp_matches(p, '^utm_'))),"
              f" '&'), '')")
-    return (f"CASE WHEN {prefix0} = '' THEN {expr} ELSE"
+    return (f"CASE WHEN regexp_extract({u}, '^[^/?#]*://', 0) = ''"
+            f" THEN {expr} ELSE"
             f" {prefix} || {path} ||"
             f" CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END"
             f" END")
