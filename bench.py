@@ -300,8 +300,12 @@ def gate_summary(result: dict) -> str:
     if "errors" in result:
         summary["errors"] = {k: v[:80] for k, v in result["errors"].items()}
     line = json.dumps(summary)
+    # last-resort rungs make the cap structural, not just true-for-tested-
+    # shapes (ADVICE r6 #3): after them only the headline scalars remain,
+    # which cannot reach 1500 chars
     for drop in ("kernels_mb_s", "kernel_scaling", "scaling_2to8",
-                 "lake_compare", "errors", "skipped"):
+                 "lake_compare", "errors", "skipped", "streaming",
+                 "scaling"):
         if len(line) <= 1500:
             break
         summary.pop(drop, None)

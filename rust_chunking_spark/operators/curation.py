@@ -47,9 +47,15 @@ def _word_ngrams_sql(text_col: str, n: int) -> str:
         f" cast(array() as array<string>))))")
 
 
+#: hard ceiling for the benchmark-side broadcast hint (same discipline as
+#: __spark_entry__.BCAST_ROW_LIMIT / _bcast_if): never a hard hint on a
+#: relation that could exceed driver memory
+BCAST_ROW_LIMIT = 2_000_000
+
+
 def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        broadcast_bench: bool = True) -> DataFrame:
+                        broadcast_bench: bool | None = None) -> DataFrame:
     """Per-document benchmark contamination: (id, n_hits) where n_hits =
     how many DISTINCT benchmark n-grams the document contains (docs with
     zero hits are not returned — at scale almost everything is clean and
@@ -58,16 +64,22 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
     Plan shape: both sides explode to distinct (ngram) rows — linear, no
     state — and meet in one equi-join on the ngram string. The benchmark
     side is the distinct n-gram set of an EVALUATION suite: small by
-    construction, so it is broadcast by default and the join is map-side
-    (zero shuffle of the corpus). ``broadcast_bench=False`` is the escape
-    hatch for an unusually large benchmark set — the hint drops and AQE
-    picks the strategy (same pattern as similarity.broadcast_probes).
+    construction, so it is broadcast when it fits and the join is map-side
+    (zero shuffle of the corpus). The default (``broadcast_bench=None``)
+    GUARDS the hint with one cheap count of the distinct bench n-grams —
+    one extra pass over the small bench relation only, never the corpus —
+    and drops to AQE's choice above BCAST_ROW_LIMIT, so an unusually large
+    eval suite can never OOM the driver. ``True`` hard-hints (caller
+    asserts the set is small), ``False`` never hints (same pattern as
+    similarity.broadcast_probes).
     """
     d_grams = (docs.select(F.col(id_col).alias("id"),
                            F.explode(F.array_distinct(
                                word_ngrams(text_col, n))).alias("g")))
     b_grams = (bench.select(F.explode(word_ngrams(text_col, n)).alias("g"))
                .distinct())
+    if broadcast_bench is None:
+        broadcast_bench = b_grams.count() <= BCAST_ROW_LIMIT
     if broadcast_bench:
         b_grams = F.broadcast(b_grams)
     return (d_grams.join(b_grams, "g")
@@ -353,9 +365,15 @@ def normalize_text(docs: DataFrame, id_col: str = "doc_id",
     src = F.col(text_col)
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(_nfc(src), _CTRL_PAT, ""), _WS_PAT, " "))
-    return docs.select(
-        F.col(id_col).alias("id"), norm.alias("norm_text"),
-        (norm != src).alias("changed"))
+    # two-stage projection: norm is aliased once, then `changed` references
+    # the attribute — Catalyst has no cross-expression CSE, and a single
+    # projection would inline the regex chain twice per row (the UDF itself
+    # is hoisted into one ArrowEvalPython either way). CollapseProject keeps
+    # the split because the alias is non-cheap and referenced twice.
+    mid = docs.select(F.col(id_col).alias("id"), src.alias("_src"),
+                      norm.alias("norm_text"))
+    return mid.select("id", "norm_text",
+                      (F.col("norm_text") != F.col("_src")).alias("changed"))
 
 
 def normalize_text_sql(docs_table: str, id_col: str = "doc_id",

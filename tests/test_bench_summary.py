@@ -107,3 +107,17 @@ def test_summary_hard_cap_drops_low_value_keys_first():
     assert len(line) <= 1500
     parsed = json.loads(line)
     assert parsed["scaling"]["efficiency"] == 0.865   # gate survives
+
+
+def test_summary_cap_is_structural_not_shape_dependent():
+    """ADVICE r6 #3: the <=1500 contract must hold for ANY result shape,
+    not just the tested ones — the ladder's last-resort rungs (streaming,
+    scaling) guarantee it even when every retained section is bloated."""
+    r = _r5_like_result(n_errors=40)
+    r["skipped"] = [{"section": f"pathological_section_name_{i:03d}",
+                     "est_seconds": 1.0, "remaining_seconds": 2.0}
+                    for i in range(60)]
+    r["streaming"] = {f"extra_key_{i:02d}": float(i) for i in range(80)}
+    line = bench.gate_summary(r)
+    assert len(line) <= 1500
+    json.loads(line)
