@@ -552,6 +552,75 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                        F.explode(F.expr(fps)).alias("fp"))
 
 
+def winnow_shared_pairs(docs: DataFrame, k: int = 4, w: int = 5,
+                        fp_group_cap: int = 64, min_shared: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The winnowing CONSUMER (MOSS's share-detection step): candidate
+    document pairs ranked by how many winnowing fingerprints they share.
+    Output: ``(a, b, n_shared_fps, capped)`` with ``a < b``; enumerated
+    pairs keep only ``n_shared_fps >= min_shared`` (a single shared
+    fingerprint is mostly boilerplate noise), capped-star pairs pass
+    through unthresholded — same contract as minhash_dup_pairs.
+
+    Plan shape: fingerprints are row-local (zero shuffles), then
+    everything downstream moves ONLY skinny (fp, id) / (a, b) rows —
+    the corpus text never shuffles. Fingerprints shared by more than
+    ``fp_group_cap`` documents (boilerplate headers at web scale) emit
+    O(g) min-id-representative star rows instead of O(g^2) pairs, flagged
+    ``capped=true`` (identical semantics to the LSH band-bucket cap above,
+    including the seen-both-ways rule: the star edge wins).
+    """
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    sized = fps.join(fps.groupBy("fp").agg(F.count("*").alias("g")), "fp")
+    small = sized.filter(F.col("g") <= fp_group_cap)
+    pairs = (small.select(F.col("id").alias("a"), "fp")
+             .join(small.select(F.col("id").alias("b"), "fp"), "fp")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", F.lit(False).alias("capped")))
+    reps = (sized.filter(F.col("g") > fp_group_cap)
+            .groupBy("fp").agg(F.min("id").alias("a")))
+    star = (sized.join(reps, "fp")
+            .filter(F.col("id") != F.col("a"))
+            .select("a", F.col("id").alias("b"), F.lit(True).alias("capped")))
+    return (pairs.unionByName(star)
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_shared_fps"),
+                 F.max("capped").alias("capped"))
+            .filter((F.col("n_shared_fps") >= min_shared) | F.col("capped")))
+
+
+def winnow_shared_pairs_sql(docs_table: str, k: int = 4, w: int = 5,
+                            fp_group_cap: int = 64, min_shared: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """ANSI-SQL twin of :func:`winnow_shared_pairs` (DuckDB oracle): the
+    fingerprint CTE self-joined on fp with the same cap/star semantics."""
+    return f"""
+      WITH f AS ({winnow_fingerprints_sql(docs_table, k, w,
+                                          id_col, text_col)}),
+      sized AS (
+        SELECT f.id, f.fp, s.g
+        FROM f JOIN (SELECT fp, count(*) AS g FROM f GROUP BY fp) s
+        USING (fp)),
+      pairs AS (
+        SELECT l.id AS a, r.id AS b, false AS capped
+        FROM (SELECT * FROM sized WHERE g <= {fp_group_cap}) l
+        JOIN (SELECT * FROM sized WHERE g <= {fp_group_cap}) r USING (fp)
+        WHERE l.id < r.id),
+      reps AS (
+        SELECT fp, min(id) AS a FROM sized
+        WHERE g > {fp_group_cap} GROUP BY fp),
+      star AS (
+        SELECT reps.a, sized.id AS b, true AS capped
+        FROM sized JOIN reps USING (fp) WHERE sized.id <> reps.a),
+      u AS (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+      SELECT a, b, count(*) AS n_shared_fps, bool_or(capped) AS capped
+      FROM u GROUP BY a, b
+      HAVING count(*) >= {min_shared} OR bool_or(capped)
+    """
+
+
 def winnow_fingerprints_sql(docs_table: str, k: int = 4, w: int = 5,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> str:

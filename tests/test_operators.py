@@ -959,6 +959,50 @@ def test_winnow_position_independent(spark):
         assert {r.fp for r in grp} == one
 
 
+def test_winnow_shared_pairs_matches_brute_force(spark):
+    """The consumer join equals the brute-force pairwise intersection of
+    the per-doc fingerprint sets (no fp over the cap in this corpus)."""
+    from itertools import combinations
+
+    from rust_chunking_spark.operators.text_dedup import winnow_shared_pairs
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    samples = [
+        "alpha beta gamma delta " + shared,
+        shared + " totally different suffix here now",
+        "unrelated text with no overlap at all whatsoever in any words",
+        "epsilon zeta " + shared + " eta theta",
+    ]
+    rows = [(i, s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {i: _py_winnow(s) for i, s in rows}
+    want = {}
+    for a, b in combinations(sorted(fps), 2):
+        n = len(fps[a] & fps[b])
+        if n >= 2:
+            want[(a, b)] = n
+    got = {(r.a, r.b): r.n_shared_fps
+           for r in winnow_shared_pairs(df).collect()}
+    assert got == want
+    assert want, "fixture must produce at least one sharing pair"
+
+
+def test_winnow_shared_pairs_caps_hot_fingerprints(spark):
+    """A fingerprint shared by more than fp_group_cap docs (boilerplate)
+    emits min-id-rep star rows flagged capped=true — O(g) not O(g^2) —
+    and capped pairs bypass the min_shared threshold (LSH cap contract)."""
+    from rust_chunking_spark.operators.text_dedup import winnow_shared_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(8))   # one shared run
+    rows = [(i, boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_shared_pairs(df, fp_group_cap=4).collect()
+    assert out and all(r.capped for r in out)
+    # star shape: every pair anchors at the min id, O(g) rows
+    assert {r.a for r in out} == {0}
+    assert {r.b for r in out} == set(range(1, 10))
+
+
 # ------------------------------------------------------- PII redaction
 
 
