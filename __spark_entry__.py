@@ -857,6 +857,42 @@ def _q_canonical_urls(spark, sf_dir):
     return canonicalize_url(d).orderBy("doc_id")
 
 
+#: deterministic multi-line construction for the line-dedup query (the
+#: synthetic corpus is single-line): shared boilerplate lines at different
+#: corpus frequencies (every doc / 1-in-2 / 1-in-3 / 1-in-5 with a blank
+#: line) wrapped around per-doc unique lines — one SQL string valid
+#: verbatim in both engines (chr(10) is the portable newline literal)
+LINE_AUG_SQL = (
+    "concat("
+    " case when doc_id % 3 = 0 then"
+    " concat('Cookie Notice: We Use Cookies', chr(10)) else '' end,"
+    " 'DOC ', cast(doc_id as string), chr(10),"
+    " substr(text, 1, 120),"
+    " case when doc_id % 2 = 0 then"
+    " concat(chr(10), 'Subscribe to our newsletter') else '' end,"
+    " case when doc_id % 5 = 0 then"
+    " concat(chr(10), chr(10), 'PS ', cast(doc_id as string)) else '' end,"
+    " chr(10), 'Copyright 2026 Example Corp')")
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Global line-level dedup / boilerplate removal (operators/curation.py:
+    dedup_lines): the C4/RefinedWeb filter — drop every line whose CORPUS-
+    WIDE occurrence count exceeds max_count (cookie banners, nav bars,
+    copyright footers repeat across millions of pages; content does not).
+    One partial-aggregating line-count shuffle (map-side combine collapses
+    boilerplate before the exchange) + a guarded-broadcast anti-join (the
+    corpus lines never shuffle for the join) + the unavoidable groupBy(id)
+    reassembly. Docs are deterministically multi-lined (LINE_AUG_SQL) on
+    both sides so the oracle checks real removals, blank-line handling,
+    and fully-boilerplate docs surviving as empty strings."""
+    from rust_chunking_spark.operators.curation import dedup_lines
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(LINE_AUG_SQL).alias("text")))
+    return dedup_lines(d).orderBy("doc_id")
+
+
 def _q_langid(spark, sf_dir):
     """Heuristic language-ID: English stopword-hit ratio (full oracle)."""
     d = _t(spark, sf_dir, "documents")
@@ -1072,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "normalized_docs": _q_normalized_docs,
         "canonical_urls": _q_canonical_urls,
+        "line_deduped_docs": _q_line_dedup,
         "contamination_hits": _q_contamination,
         "doc_repetition": _q_repetition,
         "quality_verdicts": _q_quality_filter,
@@ -1103,7 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_status_agg": _q_orders_status,
         "orders_rollup": _q_orders_rollup,
         "pricing_summary": _q_pricing_summary,
-        "qty_histogram": _q_qty_histogram,
         "top_customers": _q_top_customers,
         "semi_join_customers": _q_semi_join_customers,
         "parts_unordered": _q_parts_unordered,
@@ -1134,6 +1170,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_regex": _q_doc_token_regex,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "supplier_by_region": _q_supplier_by_region,
+        "qty_histogram": _q_qty_histogram,
     }
 
 
@@ -1313,9 +1350,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
-        "qty_histogram": """
-            SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
-            FROM lineitem GROUP BY 1 ORDER BY bucket""",
         "parts_unordered": """
             SELECT count(*) AS n_unordered FROM part
             WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)""",
@@ -1455,6 +1489,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, url, {canonicalize_url_sql('url')} AS canon_url "
         f"FROM (SELECT doc_id, {URL_AUG_SQL} AS url FROM documents) "
         f"ORDER BY doc_id")
+    from rust_chunking_spark.operators.curation import dedup_lines_sql
+    sql["line_deduped_docs"] = (
+        "SELECT doc_id, clean_text, n_lines, n_removed FROM ("
+        + dedup_lines_sql(
+            f"(SELECT doc_id, {LINE_AUG_SQL} AS text FROM documents)")
+        + ") ORDER BY doc_id")
     return sql
 
 
@@ -1515,6 +1555,9 @@ def retired_oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 3) AS p75,
                    round(quantile_cont(n_chars, 0.95), 3) AS p95
             FROM documents GROUP BY lang ORDER BY lang""",
+        "qty_histogram": """
+            SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY bucket""",
         "supplier_by_region": """
             SELECT r_name, count(*) AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -384,3 +384,86 @@ def normalize_text_sql(docs_table: str, id_col: str = "doc_id",
             f" '{_WS_PAT}', ' ', 'g'))")
     return (f"SELECT {id_col} AS id, {norm} AS norm_text,"
             f" {norm} <> {text_col} AS changed FROM {docs_table}")
+
+
+def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", max_count: int = 2,
+                broadcast_freq: bool | None = None) -> DataFrame:
+    """Global line-level deduplication (the C4 / RefinedWeb boilerplate
+    filter): remove every line whose CORPUS-WIDE occurrence count exceeds
+    ``max_count`` — cookie banners, nav bars, copyright footers repeat
+    across millions of pages; real content does not. Output per input doc:
+    ``(id, clean_text, n_lines, n_removed)`` — docs whose every line is
+    boilerplate survive with ``clean_text = ''`` (the caller decides
+    whether to drop empties; silent row loss here would corrupt joins
+    keyed on the doc id downstream).
+
+    Plan shape at 100 TB: posexplode to (id, pos, line) — linear, no state
+    — then ONE partial-aggregating groupBy(line) whose map-side combine
+    collapses repeated boilerplate before the shuffle, so the exchange
+    carries ~distinct lines, not ~total lines. The frequent set
+    (count > max_count) is small by construction — boilerplate is heavy-
+    tailed — so the removal anti-join broadcasts it when it fits (guarded
+    by one cheap count of the already-aggregated frequent side, same
+    discipline as :func:`ngram_contamination`; ``True``/``False`` hard
+    overrides) and the corpus lines never shuffle for the join. The one
+    unavoidable wide text exchange is the groupBy(id) reassembly — the
+    output IS the text. Everything is JVM-side; no Python in any path.
+
+    ``split(text, '\\n', -1)`` keeps trailing empty strings (Spark's
+    default limit drops them; DuckDB's string_split keeps them — the twin
+    would diverge on texts ending in a newline).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("pos", "line"))
+    freq = (lines.groupBy("line").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > max_count).select("line"))
+    if broadcast_freq is None:
+        broadcast_freq = freq.count() <= BCAST_ROW_LIMIT
+    kept = lines.join(F.broadcast(freq) if broadcast_freq else freq,
+                      "line", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos",
+                                                             "line"))),
+                        lambda x: x["line"]), "\n").alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    # long, not int: DuckDB's len()/count(*) are BIGINT and the driver's
+    # compare is schema-exact
+    orig = docs.select(F.col(id_col).alias("id"),
+                       F.size(F.split(F.col(text_col), "\n", -1))
+                       .cast("long").alias("n_lines"))
+    return (orig.join(agg, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed")))
+
+
+def dedup_lines_sql(docs_table: str, id_col: str = "doc_id",
+                    text_col: str = "text", max_count: int = 2) -> str:
+    """ANSI-SQL twin of :func:`dedup_lines` for the DuckDB oracle."""
+    return f"""
+      WITH ls AS (
+        SELECT {id_col} AS id, lsp[i] AS line, i AS pos
+        FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS lsp
+              FROM {docs_table}),
+             unnest(generate_series(1, len(lsp))) AS r(i)),
+      freq AS (
+        SELECT line FROM ls GROUP BY line HAVING count(*) > {max_count}),
+      kept AS (
+        SELECT * FROM ls WHERE line NOT IN (SELECT line FROM freq)),
+      agg AS (
+        SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY id)
+      SELECT d.{id_col},
+             COALESCE(a.clean_text, '') AS clean_text,
+             len(string_split(d.{text_col}, chr(10))) AS n_lines,
+             len(string_split(d.{text_col}, chr(10)))
+                  - COALESCE(a.n_kept, 0) AS n_removed
+      FROM {docs_table} d LEFT JOIN agg a ON a.id = d.{id_col}
+    """

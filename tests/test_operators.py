@@ -1151,3 +1151,60 @@ def test_canonicalize_url_matches_duckdb_twin(spark):
     exp = sorted(con.sql(
         f"SELECT doc_id, {canonicalize_url_sql('url')} FROM t").fetchall())
     assert got == exp
+
+
+# ------------------------------------------------- global line dedup (C4)
+
+
+def test_dedup_lines_values(spark):
+    """Corpus-frequency semantics: count > max_count removes the line
+    EVERYWHERE (incl. intra-doc repeats and blank lines); docs reduced to
+    nothing survive with clean_text='' — never silent row loss."""
+    from rust_chunking_spark.operators.curation import dedup_lines
+
+    rows = [
+        (0, "unique zero\nCOPYRIGHT\nbody a"),
+        (1, "COPYRIGHT\nunique one\n\nbody b"),
+        (2, "COPYRIGHT\n\nsubscribe\nsubscribe"),  # intra-doc dup counts
+        (3, "COPYRIGHT"),                          # fully boilerplate
+        (4, "trailing newline\n"),                 # keeps the empty line
+        (5, ""),
+        (6, "subscribe"),                          # 3rd corpus occurrence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert len(got) == len(rows)
+    assert got[0].clean_text == "unique zero\nbody a"
+    assert (got[0].n_lines, got[0].n_removed) == (3, 1)
+    assert got[1].clean_text == "unique one\nbody b"      # blank removed
+    assert got[2].clean_text == "" and got[2].n_removed == 4
+    assert got[3].clean_text == "" and got[3].n_lines == 1
+    assert got[4].clean_text == "trailing newline"        # '' corpus-dup
+    assert got[6].clean_text == ""                        # count 3 > 2
+    # higher threshold keeps the 3-occurrence 'subscribe' line
+    got5 = {r.doc_id: r for r in dedup_lines(df, max_count=3).collect()}
+    assert got5[6].clean_text == "subscribe"
+    # the no-broadcast fallback path is value-identical
+    got_nb = {r.doc_id: r
+              for r in dedup_lines(df, broadcast_freq=False).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == \
+        {k: tuple(v) for k, v in got_nb.items()}
+
+
+def test_dedup_lines_matches_duckdb_twin(spark):
+    """Cross-engine parity on generated multi-line text, incl. Spark's
+    split(_, _, -1) keeping trailing empties like DuckDB string_split."""
+    import duckdb
+
+    from rust_chunking_spark.operators.curation import (
+        dedup_lines, dedup_lines_sql)
+
+    rows = [(i, "HEADER\n" * (i % 3) + f"body {i}\nmid {i % 5}"
+             + ("\n" if i % 4 == 0 else "")) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup_lines(df).collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = sorted(con.sql(dedup_lines_sql("docs")).fetchall())
+    assert got == exp

@@ -271,3 +271,25 @@ def test_winnow_shared_pairs_shuffles_skinny_only(spark):
     for line in plan.splitlines():
         if any(op in line for op in ("Exchange", "Join", "Aggregate")):
             assert "text#" not in line, line
+
+
+def test_dedup_lines_join_is_broadcast_and_counts_skinny(spark):
+    """dedup_lines' 100 TB claims: the frequent-line removal is a
+    BROADCAST anti-join (corpus lines never shuffle to meet the frequent
+    set) and the line-count aggregate exchanges only (line, count) — the
+    one wide exchange is the groupBy(id) reassembly, which carries the
+    output text by definition."""
+    import re
+
+    from rust_chunking_spark.operators.curation import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup_lines(docs)
+    plan = explain_str(df, mode="simple")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or \
+        re.search(r"BroadcastNestedLoop.*LeftAnti", plan), plan
+    # every hash exchange is keyed on line or id — never a pair/text key
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = {c.strip().split("#")[0] for c in cols.split(",")
+                if not c.strip().isdigit()}
+        assert keys <= {"line", "id"}, (keys, plan)
