@@ -645,3 +645,156 @@ def winnow_fingerprints_sql(docs_table: str, k: int = 4, w: int = 5,
         FROM g)
       SELECT id, UNNEST(fps) AS fp FROM f
     """
+
+
+#: broadcast guard for the incremental probe (same value + rationale as
+#: curation.BCAST_ROW_LIMIT / __spark_entry__.BCAST_ROW_LIMIT)
+_BCAST_ROW_LIMIT = 2_000_000
+
+
+class LshState:
+    """Persisted incremental-dedup state: ``sigs`` = (id, sig) minhash
+    signatures, ``bands`` = (id, band, bh) the exploded LSH bucket table.
+    Both are skinny, append-only, and parquet-friendly — exactly what a
+    CDC pipeline checkpoints next to the lake between epochs."""
+
+    __slots__ = ("sigs", "bands")
+
+    def __init__(self, sigs: DataFrame, bands: DataFrame):
+        self.sigs = sigs
+        self.bands = bands
+
+
+def _band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> exploded (id, band, bh) LSH bucket rows (JVM xxhash64
+    over signature slices — cheap relative to the minhash UDF)."""
+    rows = n_hashes // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col("sig")[b * rows + r].cast("string")
+                            for r in range(rows)])).alias("bh"))
+        for b in range(bands)
+    ]
+    return (sigs.select("id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("id", "b.band", "b.bh"))
+
+
+def incremental_lsh_dup_pairs(new_docs: DataFrame,
+                              state: LshState | None = None,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n_hashes: int = 64, bands: int = 16,
+                              shingle_k: int = 5, threshold: float = 0.7,
+                              band_group_cap: int = 64,
+                              broadcast_new: bool | None = None):
+    """CDC-native near-dup detection: dedup ONE epoch's new documents
+    against everything already ingested WITHOUT re-minhashing or
+    re-pairing the existing corpus. Returns ``(pairs, new_state)`` where
+    ``pairs`` has the :func:`lsh_duplicate_pairs` schema
+    ``(a, b, est_jaccard, capped)`` restricted to pairs that involve at
+    least one NEW document, and ``new_state`` is the input state plus the
+    new epoch's signatures/buckets (feed it to the next epoch; persist
+    ``state.sigs``/``state.bands`` as parquet between runs).
+
+    Equivalence contract (pytest-enforced): when no bucket exceeds
+    ``band_group_cap``, the union of ``pairs`` over epochs 1..k equals
+    ``lsh_duplicate_pairs`` over the full corpus — each pair surfaces in
+    the epoch its LATER member arrives.
+
+    Plan shape at 100 TB — the reason this exists: per-epoch cost is
+    O(epoch) + one map-side pass over the persisted bucket table, never
+    O(corpus^2) and never a corpus shuffle:
+
+    - new signatures: the minhash UDF runs on the EPOCH only (the
+      dominant cost of batch LSH is re-signing the corpus every run);
+    - new-new pairs: the batch bucket logic on the epoch's bands alone;
+    - new-old pairs: the epoch's band keys are broadcast (guarded by
+      BCAST-style row limit via ``broadcast_new=None`` -> cheap count;
+      ``True``/``False`` hard overrides) and the state bucket table is
+      semi-join-FILTERED map-side — state rows never shuffle; only the
+      matched rows (buckets a new doc actually hits) flow on. Matched
+      buckets larger than ``band_group_cap`` emit min-old-id star rows
+      (capped=true, same contract as the batch operator) so a template
+      bucket with 10^6 historical members costs O(g), not O(g * epoch).
+    - verification joins signatures only for ids that appear in some
+      candidate pair — a skinny semi-filtered subset of state.
+    """
+    from ..plans.inspect import estimate_scan_splits
+
+    spark = new_docs.sparkSession
+    src = new_docs.select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("__t"))
+    p = spark.sparkContext.defaultParallelism
+    splits = estimate_scan_splits(src)
+    if splits == 0:
+        splits = src.rdd.getNumPartitions()
+    if splits < p:
+        src = src.repartition(p)
+    sig_udf = minhash_signature_udf(n_hashes, shingle_k)
+    new_sigs = src.select("id", sig_udf(F.col("__t")).alias("sig")).cache()
+    new_bands = _band_buckets(new_sigs, n_hashes, bands).cache()
+
+    # ---- new x new: the batch bucket logic on the epoch alone
+    sized_nn = new_bands.join(
+        new_bands.groupBy("band", "bh").agg(F.count("*").alias("g")),
+        ["band", "bh"])
+    small_nn = sized_nn.filter(F.col("g") <= band_group_cap)
+    nn_pairs = (small_nn.select(F.col("id").alias("a"), "band", "bh")
+                .join(small_nn.select(F.col("id").alias("b"), "band", "bh"),
+                      ["band", "bh"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b", F.lit(False).alias("capped")))
+    reps_nn = (sized_nn.filter(F.col("g") > band_group_cap)
+               .groupBy("band", "bh").agg(F.min("id").alias("a")))
+    star_nn = (sized_nn.join(reps_nn, ["band", "bh"])
+               .filter(F.col("id") != F.col("a"))
+               .select("a", F.col("id").alias("b"),
+                       F.lit(True).alias("capped")))
+    cand = nn_pairs.unionByName(star_nn)
+
+    # ---- new x old: map-side probe of the persisted bucket table
+    if state is not None:
+        if broadcast_new is None:
+            broadcast_new = new_bands.count() <= _BCAST_ROW_LIMIT
+        probe = F.broadcast(new_bands) if broadcast_new else new_bands
+        # matched = state rows in buckets some new doc hits (map-side
+        # semi when broadcast; state never shuffles for it)
+        matched = (state.bands
+                   .join(probe.select("band", "bh").distinct(),
+                         ["band", "bh"], "left_semi"))
+        sized_no = matched.join(
+            matched.groupBy("band", "bh").agg(F.count("*").alias("g")),
+            ["band", "bh"])
+        small_no = (sized_no.filter(F.col("g") <= band_group_cap)
+                    .select(F.col("id").alias("old_id"), "band", "bh"))
+        no_pairs = (small_no.join(probe, ["band", "bh"])
+                    .select(F.least("old_id", "id").alias("a"),
+                            F.greatest("old_id", "id").alias("b"),
+                            F.lit(False).alias("capped")))
+        reps_no = (sized_no.filter(F.col("g") > band_group_cap)
+                   .groupBy("band", "bh").agg(F.min("id").alias("rep")))
+        star_no = (reps_no.join(probe, ["band", "bh"])
+                   .select(F.least("rep", "id").alias("a"),
+                           F.greatest("rep", "id").alias("b"),
+                           F.lit(True).alias("capped")))
+        cand = cand.unionByName(no_pairs).unionByName(star_no)
+
+    cand = (cand.filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b").agg(F.max("capped").alias("capped")))
+
+    all_sigs = (new_sigs if state is None
+                else state.sigs.unionByName(new_sigs))
+    sa = all_sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    pairs = (cand.join(sa, "a").join(sb, "b")
+             .withColumn(
+                 "est_jaccard",
+                 F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+                        " v -> v))") / F.lit(n_hashes))
+             .filter((F.col("est_jaccard") >= threshold) | F.col("capped"))
+             .select("a", "b", "est_jaccard", "capped"))
+    all_bands = (new_bands if state is None
+                 else state.bands.unionByName(new_bands))
+    return pairs, LshState(all_sigs, all_bands)
+

@@ -1208,3 +1208,92 @@ def test_dedup_lines_matches_duckdb_twin(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
     exp = sorted(con.sql(dedup_lines_sql("docs")).fetchall())
     assert got == exp
+
+
+# ------------------------------------------- incremental (CDC) LSH dedup
+
+
+def _epoch_corpus(spark):
+    """3 epochs with planted dups: 10/11 near-dups within epoch 1;
+    20 == exact dup of 10 across epochs 1->2; 30 near-dup of 11 in epoch
+    3; plus random background docs."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest looking for food " * 6).split()
+    rng = np.random.default_rng(9)
+    vocab = list(set(base)) + ["alpha", "beta", "gamma", "delta"]
+
+    def rand_doc():
+        return " ".join(rng.choice(vocab, 80))
+
+    mod = list(base)
+    mod[7] = "cat"
+    mod2 = list(base)
+    mod2[3] = "bird"
+    e1 = [(10, " ".join(base)), (11, " ".join(mod))] + \
+        [(i, rand_doc()) for i in range(12, 18)]
+    e2 = [(20, " ".join(base))] + [(i, rand_doc()) for i in range(21, 27)]
+    e3 = [(30, " ".join(mod2))] + [(i, rand_doc()) for i in range(31, 37)]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(e1), mk(e2), mk(e3), mk(e1 + e2 + e3)
+
+
+def test_incremental_lsh_equals_batch(spark):
+    """The equivalence contract: with no capped buckets, the union of
+    per-epoch incremental pairs == batch lsh_duplicate_pairs over the
+    full corpus (same est_jaccard values), each pair surfacing in the
+    epoch its later member arrives."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_lsh_dup_pairs, lsh_duplicate_pairs)
+
+    e1, e2, e3, full = _epoch_corpus(spark)
+    got = {}
+    state = None
+    for ep, docs in ((1, e1), (2, e2), (3, e3)):
+        pairs, state = incremental_lsh_dup_pairs(docs, state, threshold=0.5)
+        for r in pairs.collect():
+            assert (r.a, r.b) not in got, "pair re-emitted across epochs"
+            got[(r.a, r.b)] = (round(r.est_jaccard, 6), r.capped, ep)
+    batch = {(r.a, r.b): (round(r.est_jaccard, 6), r.capped)
+             for r in lsh_duplicate_pairs(full, threshold=0.5).collect()}
+    assert {k: v[:2] for k, v in got.items()} == batch
+    assert not any(v[1] for v in got.values())   # nothing capped here
+    # planted pairs surface in the correct epoch
+    assert got[(10, 11)][2] == 1       # within-epoch near-dup
+    assert got[(10, 20)][2] == 2       # cross-epoch exact dup
+    assert got[(11, 30)][2] == 3 or (10, 30) in got
+
+
+def test_incremental_lsh_no_broadcast_path_identical(spark):
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_lsh_dup_pairs)
+
+    e1, e2, _, _ = _epoch_corpus(spark)
+    _, st = incremental_lsh_dup_pairs(e1, None, threshold=0.5)
+    a, _ = incremental_lsh_dup_pairs(e2, st, threshold=0.5,
+                                     broadcast_new=True)
+    b, _ = incremental_lsh_dup_pairs(e2, st, threshold=0.5,
+                                     broadcast_new=False)
+    key = lambda df: sorted((r.a, r.b, round(r.est_jaccard, 6), r.capped)
+                            for r in df.collect())
+    assert key(a) == key(b)
+
+
+def test_incremental_lsh_caps_template_buckets(spark):
+    """A historical template bucket larger than the cap must emit
+    capped=true star edges to the min old id, never g_old x g_new
+    enumerated rows."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_lsh_dup_pairs)
+
+    tmpl = "identical boilerplate page body " * 20
+    old = spark.createDataFrame([(i, tmpl) for i in range(40)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(100, tmpl), (101, "fresh unique words "
+                                 "describing one real page")],
+                                "doc_id long, text string")
+    _, st = incremental_lsh_dup_pairs(old, None, band_group_cap=8)
+    pairs, _ = incremental_lsh_dup_pairs(new, st, band_group_cap=8)
+    rows = pairs.collect()
+    hits = [r for r in rows if r.b == 100 or r.a == 100]
+    assert hits and all(r.capped for r in hits)
+    assert {(r.a, r.b) for r in hits} == {(0, 100)}   # min-old-id star only

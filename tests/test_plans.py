@@ -293,3 +293,26 @@ def test_dedup_lines_join_is_broadcast_and_counts_skinny(spark):
         keys = {c.strip().split("#")[0] for c in cols.split(",")
                 if not c.strip().isdigit()}
         assert keys <= {"line", "id"}, (keys, plan)
+
+
+def test_incremental_lsh_state_probe_is_mapside(spark):
+    """incremental_lsh_dup_pairs' scale claim: the persisted bucket table
+    is probed MAP-SIDE — the epoch's band keys arrive as a broadcast
+    (BroadcastHashJoin LeftSemi) and no exchange in the plan repartitions
+    the state by anything but skinny band/pair/id keys."""
+    import re
+
+    from rust_chunking_spark.operators.text_dedup import (
+        LshState, incremental_lsh_dup_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    _, st = incremental_lsh_dup_pairs(old, None)
+    pairs, _ = incremental_lsh_dup_pairs(new, st, broadcast_new=True)
+    plan = explain_str(pairs, mode="simple")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = {c.strip().split("#")[0] for c in cols.split(",")
+                if not c.strip().isdigit()}
+        assert keys <= {"band", "bh", "a", "b", "id"}, (keys, plan)
