@@ -798,3 +798,61 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
                  else state.bands.unionByName(new_bands))
     return pairs, LshState(all_sigs, all_bands)
 
+
+
+def dedup_corpus(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id",
+                 keep: str = "min_id",
+                 quality_col: str | None = None,
+                 broadcast_removals: bool | None = None) -> DataFrame:
+    """The dedup CONSUMER: given candidate duplicate pairs (from
+    :func:`lsh_duplicate_pairs`, :func:`incremental_lsh_dup_pairs`,
+    SimHash banding, or an exact-hash self-join), return the corpus with
+    every duplicate cluster collapsed to ONE canonical survivor —
+    singleton docs (no pair) pass through untouched. This is the step
+    that actually shrinks the training set; everything upstream only
+    finds the edges.
+
+    ``keep`` selects the canonical member per cluster:
+
+    - ``"min_id"`` (default) — smallest id wins: deterministic, stable
+      across re-runs and cluster sizes, no extra column read.
+    - ``"max_quality"`` — highest ``quality_col`` wins (ties -> smallest
+      id): the C4/RefinedWeb policy of keeping the best-scoring copy.
+      ``quality_col`` must be a numeric column on ``docs``.
+
+    Plan shape at 100 TB: the clusters are computed on the SKINNY pair
+    graph only (docs in no pair never enter connected_components), the
+    removal set is (cluster_size - 1) ids per cluster — a tiny fraction
+    of the corpus for realistic dup rates — and the final step is one
+    LEFT ANTI join of the corpus against that skinny removal set,
+    broadcast when it fits (guarded by the same `_BCAST_ROW_LIMIT`
+    count discipline as the incremental probe; ``broadcast_removals``
+    hard-overrides). The full-width corpus never shuffles.
+    """
+    if keep not in ("min_id", "max_quality"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if keep == "max_quality" and not quality_col:
+        raise ValueError("keep='max_quality' requires quality_col")
+
+    cc = connected_components(pairs.select("a", "b"), "a", "b")
+    if keep == "min_id":
+        # cluster_id IS the min reachable id: survivors are free
+        removals = cc.filter(F.col("node") != F.col("cluster_id"))
+    else:
+        q = docs.select(F.col(id_col).alias("node"),
+                        F.col(quality_col).cast("double").alias("__q"))
+        scored = cc.join(q, "node")     # skinny: pair-graph nodes only
+        winners = (scored.groupBy("cluster_id")
+                   .agg(F.min_by(
+                       "node",
+                       F.struct((-F.col("__q")).alias("nq"),
+                                F.col("node").alias("n"))).alias("win")))
+        removals = (cc.join(winners, "cluster_id")
+                    .filter(F.col("node") != F.col("win")))
+    removals = removals.select(F.col("node").alias(id_col))
+    if broadcast_removals is None:
+        broadcast_removals = removals.count() <= _BCAST_ROW_LIMIT
+    if broadcast_removals:
+        removals = F.broadcast(removals)
+    return docs.join(removals, id_col, "left_anti")

@@ -1,6 +1,7 @@
 """Training-data pipeline operators: MinHash-LSH, SimHash, ANN, multimodal."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from rust_chunking_spark.operators.multimodal import decode_and_featurize
@@ -1297,3 +1298,106 @@ def test_incremental_lsh_caps_template_buckets(spark):
     hits = [r for r in rows if r.b == 100 or r.a == 100]
     assert hits and all(r.capped for r in hits)
     assert {(r.a, r.b) for r in hits} == {(0, 100)}   # min-old-id star only
+
+
+# ------------------------------------------------ dedup_corpus (consumer)
+
+
+_DEDUP_CORPUS_ORACLE = """
+    WITH RECURSIVE
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    labs AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+    win AS ({winner}),
+    removals AS (
+        SELECT labs.node FROM labs JOIN win USING (cluster_id)
+        WHERE labs.node <> win.keep)
+    SELECT doc_id FROM docs
+    WHERE doc_id NOT IN (SELECT node FROM removals)
+    ORDER BY doc_id
+"""
+
+_WIN_MIN_ID = "SELECT cluster_id, cluster_id AS keep FROM labs GROUP BY 1"
+_WIN_MAX_Q = """
+    SELECT cluster_id, keep FROM (
+        SELECT cluster_id, labs.node AS keep,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY docs.q DESC, labs.node) AS rn
+        FROM labs JOIN docs ON labs.node = docs.doc_id) t
+    WHERE rn = 1
+"""
+
+
+def _dedup_corpus_fixture(spark):
+    """40 docs, quality q = doc-length proxy; pair graph: a 3-clique
+    {0,1,2}, a chain 5-6-7 (transitive closure must merge it), a 2-cycle
+    {10,11}, and an edge referencing a doc absent from the corpus (99)."""
+    rows = [(i, f"doc body {i} " + "x " * (i % 7), float((i * 13) % 29))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    p = [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (10, 11), (11, 99)]
+    pairs = spark.createDataFrame(p, "a long, b long")
+    return rows, p, docs, pairs
+
+
+def _oracle_survivors(rows, p, winner):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id BIGINT, text VARCHAR, q DOUBLE)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    con.sql("CREATE TABLE pairs(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", p)
+    return [r[0] for r in con.sql(
+        _DEDUP_CORPUS_ORACLE.format(winner=winner)).fetchall()]
+
+
+def test_dedup_corpus_min_id_matches_duckdb(spark):
+    from rust_chunking_spark.operators.text_dedup import dedup_corpus
+
+    rows, p, docs, pairs = _dedup_corpus_fixture(spark)
+    out = dedup_corpus(docs, pairs)
+    assert out.columns == docs.columns             # schema passes through
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == _oracle_survivors(rows, p, _WIN_MIN_ID)
+    # clusters {0,1,2}, {5,6,7}, {10,11} each keep exactly their min id
+    assert {0, 5, 10} <= set(got)
+    assert not {1, 2, 6, 7, 11} & set(got)
+
+
+def test_dedup_corpus_max_quality_matches_duckdb(spark):
+    from rust_chunking_spark.operators.text_dedup import dedup_corpus
+
+    rows, p, docs, pairs = _dedup_corpus_fixture(spark)
+    out = dedup_corpus(docs, pairs, keep="max_quality", quality_col="q")
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == _oracle_survivors(rows, p, _WIN_MAX_Q)
+    q = {i: qv for i, _, qv in rows}
+    # chain 5-6-7 merged into one cluster: only its q-argmax survives
+    chain_best = min((i for i in (5, 6, 7)), key=lambda i: (-q[i], i))
+    assert chain_best in got and not ({5, 6, 7} - {chain_best}) & set(got)
+
+
+def test_dedup_corpus_broadcast_paths_identical(spark):
+    from rust_chunking_spark.operators.text_dedup import dedup_corpus
+
+    _, _, docs, pairs = _dedup_corpus_fixture(spark)
+    a = sorted(r.doc_id for r in
+               dedup_corpus(docs, pairs, broadcast_removals=True).collect())
+    b = sorted(r.doc_id for r in
+               dedup_corpus(docs, pairs, broadcast_removals=False).collect())
+    assert a == b
+
+
+def test_dedup_corpus_policy_validation(spark):
+    from rust_chunking_spark.operators.text_dedup import dedup_corpus
+
+    _, _, docs, pairs = _dedup_corpus_fixture(spark)
+    with pytest.raises(ValueError):
+        dedup_corpus(docs, pairs, keep="newest")
+    with pytest.raises(ValueError):
+        dedup_corpus(docs, pairs, keep="max_quality")   # no quality_col

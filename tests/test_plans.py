@@ -316,3 +316,25 @@ def test_incremental_lsh_state_probe_is_mapside(spark):
         keys = {c.strip().split("#")[0] for c in cols.split(",")
                 if not c.strip().isdigit()}
         assert keys <= {"band", "bh", "a", "b", "id"}, (keys, plan)
+
+
+def test_dedup_corpus_anti_join_is_broadcast(spark):
+    """dedup_corpus' scale claim: the full-width corpus never shuffles —
+    the skinny removal set arrives as a broadcast and the anti-join is a
+    BroadcastHashJoin LeftAnti; any exchanges touch only the skinny
+    pair-graph columns."""
+    import re
+
+    from rust_chunking_spark.operators.text_dedup import dedup_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long")
+    out = dedup_corpus(docs, pairs, broadcast_removals=True)
+    plan = explain_str(out, mode="simple")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = {c.strip().split("#")[0] for c in cols.split(",")
+                if not c.strip().isdigit()}
+        assert keys <= {"a", "b", "node", "d", "s", "lab",
+                        "cluster_id"}, (keys, plan)
