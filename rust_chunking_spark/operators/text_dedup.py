@@ -656,13 +656,22 @@ class LshState:
     """Persisted incremental-dedup state: ``sigs`` = (id, sig) minhash
     signatures, ``bands`` = (id, band, bh) the exploded LSH bucket table.
     Both are skinny, append-only, and parquet-friendly — exactly what a
-    CDC pipeline checkpoints next to the lake between epochs."""
+    CDC pipeline checkpoints next to the lake between epochs.
 
-    __slots__ = ("sigs", "bands")
+    ``delta`` (set on states returned by
+    :func:`incremental_lsh_dup_pairs`) holds ONLY the newest epoch's
+    sigs/bands — the rows a checkpointer must persist. Writing the delta
+    per epoch keeps state persistence O(epoch); materializing the unioned
+    ``sigs``/``bands`` instead would rewrite the whole corpus-sized state
+    every epoch (see streaming/dedup_stream.py)."""
 
-    def __init__(self, sigs: DataFrame, bands: DataFrame):
+    __slots__ = ("sigs", "bands", "delta")
+
+    def __init__(self, sigs: DataFrame, bands: DataFrame,
+                 delta: "LshState | None" = None):
         self.sigs = sigs
         self.bands = bands
+        self.delta = delta
 
 
 def _band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -796,7 +805,8 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
              .select("a", "b", "est_jaccard", "capped"))
     all_bands = (new_bands if state is None
                  else state.bands.unionByName(new_bands))
-    return pairs, LshState(all_sigs, all_bands)
+    return pairs, LshState(all_sigs, all_bands,
+                           delta=LshState(new_sigs, new_bands))
 
 
 

@@ -1,0 +1,92 @@
+"""StreamingDedup: incremental LSH dedup over a document stream with
+parquet-persisted state (streaming/dedup_stream.py)."""
+
+import os
+import shutil
+
+from rust_chunking_spark.operators.text_dedup import lsh_duplicate_pairs
+from rust_chunking_spark.streaming.dedup_stream import StreamingDedup
+
+from test_operators import _epoch_corpus
+
+
+def _collect_pairs(df):
+    return {(r.a, r.b): (round(r.est_jaccard, 6), r.capped)
+            for r in df.collect()}
+
+
+def test_streaming_dedup_driven_batches_equal_batch_lsh(spark, tmp_path):
+    """apply_batch per epoch: union of committed pairs == one batch
+    lsh_duplicate_pairs over the full corpus."""
+    e1, e2, e3, full = _epoch_corpus(spark)
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    for bid, docs in ((0, e1), (1, e2), (2, e3)):
+        assert sd.apply_batch(docs, bid) is True
+    got = _collect_pairs(sd.pairs())
+    exp = _collect_pairs(lsh_duplicate_pairs(full, threshold=0.5))
+    assert got == exp and got      # non-trivial: planted dups found
+
+
+def test_streaming_dedup_redelivery_is_noop(spark, tmp_path):
+    """A committed batch id re-applied (checkpoint rollback) changes
+    nothing — the commit marker short-circuits."""
+    e1, e2, _, _ = _epoch_corpus(spark)
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    sd.apply_batch(e1, 0)
+    sd.apply_batch(e2, 1)
+    before = _collect_pairs(sd.pairs())
+    assert sd.apply_batch(e2, 1) is False
+    assert sd.apply_batch(e1, 0) is False
+    assert _collect_pairs(sd.pairs()) == before
+
+
+def test_streaming_dedup_crash_orphan_invisible_then_repaired(spark,
+                                                              tmp_path):
+    """Crash between the parquet writes and the marker: the orphan batch
+    dir is invisible to load_state/pairs, and retrying the SAME batch id
+    overwrites it and commits."""
+    e1, e2, _, _ = _epoch_corpus(spark)
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    sd.apply_batch(e1, 0)
+    sd.apply_batch(e2, 1)            # commit normally...
+    os.remove(sd._marker(1))         # ...then simulate the pre-marker crash
+    assert sd.committed_batches() == [0]
+    assert 1 not in {b for b in sd.committed_batches()}
+    only_e1 = _collect_pairs(sd.pairs())
+    assert all(a < 20 and b < 20 for a, b in only_e1)   # epoch-2 ids absent
+    assert sd.apply_batch(e2, 1) is True                # retry commits
+    assert sd.committed_batches() == [0, 1]
+    assert (10, 20) in _collect_pairs(sd.pairs())       # cross-epoch dup
+
+
+def test_streaming_dedup_empty_batch_commits(spark, tmp_path):
+    e1, _, _, _ = _epoch_corpus(spark)
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    empty = e1.limit(0)
+    assert sd.apply_batch(empty, 0) is True
+    assert sd.apply_batch(e1, 1) is True
+    assert sd.load_state() is not None
+    assert sd.pairs() is not None
+
+
+def test_streaming_dedup_through_structured_streaming(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch: same result as batch
+    regardless of how the file source slices the corpus into
+    micro-batches (maxFilesPerTrigger=1 over a multi-file write)."""
+    e1, e2, e3, full = _epoch_corpus(spark)
+    docs_dir = str(tmp_path / "docs")
+    for i, part in enumerate((e1, e2, e3)):
+        part.repartition(2).write.mode("append").parquet(docs_dir)
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    q = sd.start_stream(docs_dir, str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = _collect_pairs(sd.pairs())
+    exp = _collect_pairs(lsh_duplicate_pairs(full, threshold=0.5))
+    assert got == exp and got
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
