@@ -62,8 +62,11 @@ DUP_GROUP_CAP = 64
 #: not a plan AQE can save (VERDICT r4 'what's wrong' #3). Below the limit
 #: the hint is a strict win (map-side join, no shuffle of the big side);
 #: above it the hint is dropped and AQE picks SMJ + skew split — the same
-#: guard the engine applies (engine/ingest.py:CdcIngestJob._bcast).
-BCAST_ROW_LIMIT = 2_000_000
+#: guard the engine applies (engine/ingest.py:CdcIngestJob._bcast). ONE
+#: definition, shared with the operators (curation / text_dedup import it
+#: too) so the bound can never drift between modules.
+from rust_chunking_spark.operators.curation import (  # noqa: E402
+    BCAST_ROW_LIMIT)
 
 
 def _bcast_if(df: DataFrame, n_rows: int) -> DataFrame:

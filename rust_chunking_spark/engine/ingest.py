@@ -96,7 +96,7 @@ class CdcIngestJob:
                  chunk_store: AppendOnlyTable, metrics: AppendOnlyTable,
                  algo: str = "super", chunk_params: dict | None = None,
                  salt_lww: bool = False, collect_metrics: bool = True,
-                 broadcast_limit: int = 2_000_000, records=None,
+                 broadcast_limit: int | None = None, records=None,
                  obs_lineage_max_buckets: int = 128):
         self.spark = spark
         self.lake = lake
@@ -106,6 +106,11 @@ class CdcIngestJob:
         self.chunk_params = chunk_params or {}
         self.salt_lww = salt_lww
         self.collect_metrics = collect_metrics
+        if broadcast_limit is None:
+            # the package-wide guard bound (one definition: operators/
+            # curation.py) unless the caller tunes this job explicitly
+            from ..operators.curation import BCAST_ROW_LIMIT
+            broadcast_limit = BCAST_ROW_LIMIT
         self.broadcast_limit = broadcast_limit
         #: Steady-state lineage rides an Observation on the meta write — but
         #: the observe encoding is 7 when-sum aggregates PER DIRTY BUCKET

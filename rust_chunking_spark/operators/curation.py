@@ -404,9 +404,10 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
     carries ~distinct lines, not ~total lines. The frequent set
     (count > max_count) is small by construction — boilerplate is heavy-
     tailed — so the removal anti-join broadcasts it when it fits (guarded
-    by one cheap count of the already-aggregated frequent side, same
-    discipline as :func:`ngram_contamination`; ``True``/``False`` hard
-    overrides) and the corpus lines never shuffle for the join. The one
+    by a count of the aggregated frequent side, which is CACHED first so
+    the corpus-wide aggregation feeding it runs once, not once for the
+    guard and once for the join; ``True``/``False`` hard overrides skip
+    the count) and the corpus lines never shuffle for the join. The one
     unavoidable wide text exchange is the groupBy(id) reassembly — the
     output IS the text. Everything is JVM-side; no Python in any path.
 
@@ -421,6 +422,13 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
     freq = (lines.groupBy("line").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") > max_count).select("line"))
     if broadcast_freq is None:
+        # cache BEFORE the guard count: freq derives from the corpus-wide
+        # line aggregation, so an uncached count would run that whole
+        # pipeline once for the guard and AGAIN for the anti-join —
+        # doubling the dominant scan+shuffle. The cached set is small by
+        # construction (boilerplate is heavy-tailed) and is released by
+        # the ContextCleaner when the plan is garbage-collected.
+        freq = freq.cache()
         broadcast_freq = freq.count() <= BCAST_ROW_LIMIT
     kept = lines.join(F.broadcast(freq) if broadcast_freq else freq,
                       "line", "left_anti")

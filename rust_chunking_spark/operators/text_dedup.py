@@ -296,7 +296,6 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     near-dup bucket is oversized, so capped=true appears only under
     template-collapse pathologies and output is otherwise unchanged.
     """
-    rows = n_hashes // bands
     sig_udf = minhash_signature_udf(n_hashes, shingle_k)
     # round-robin repartition before the signature UDF — but ONLY when the
     # input arrives in fewer splits than cores (a small parquet file would
@@ -319,35 +318,11 @@ def lsh_duplicate_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = src.select("id", sig_udf(F.col("__t")).alias("sig"))
     sigs = sigs.cache()
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col("sig")[b * rows + r].cast("string")
-                            for r in range(rows)])).alias("bh"))
-        for b in range(bands)
-    ]
-    banded = (sigs.select("id", F.explode(F.array(*band_cols)).alias("b"))
-              .select("id", "b.band", "b.bh"))
-    sized = banded.join(
-        banded.groupBy("band", "bh").agg(F.count("*").alias("g")),
-        ["band", "bh"])
-    small = sized.filter(F.col("g") <= band_group_cap)
-    pairs = (small.select(F.col("id").alias("a"), "band", "bh")
-             .join(small.select(F.col("id").alias("b"), "band", "bh"),
-                   ["band", "bh"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b", F.lit(False).alias("capped")))
-    # oversized buckets: O(g) star rows around the min-id representative
-    # (rep < member always holds, so a < b is preserved)
-    reps = (sized.filter(F.col("g") > band_group_cap)
-            .groupBy("band", "bh").agg(F.min("id").alias("a")))
-    star = (sized.join(reps, ["band", "bh"])
-            .filter(F.col("id") != F.col("a"))
-            .select("a", F.col("id").alias("b"), F.lit(True).alias("capped")))
+    banded = _band_buckets(sigs, n_hashes, bands)
     # a pair seen both enumerated and as a star keeps capped=true: the star
     # edge exists to connect an oversized bucket's members, and must not be
     # re-subjected to the threshold by its enumerated twin
-    cand = (pairs.unionByName(star)
+    cand = (_capped_bucket_pairs(banded, band_group_cap)
             .groupBy("a", "b").agg(F.max("capped").alias("capped")))
 
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
@@ -647,9 +622,11 @@ def winnow_fingerprints_sql(docs_table: str, k: int = 4, w: int = 5,
     """
 
 
-#: broadcast guard for the incremental probe (same value + rationale as
-#: curation.BCAST_ROW_LIMIT / __spark_entry__.BCAST_ROW_LIMIT)
-_BCAST_ROW_LIMIT = 2_000_000
+#: broadcast guard for the incremental probe and the dedup_corpus
+#: removal set — ONE definition shared with curation so the driver-memory
+#: bound can never be tuned in one module and left stale in the other
+#: (__spark_entry__.BCAST_ROW_LIMIT imports from curation too)
+from .curation import BCAST_ROW_LIMIT as _BCAST_ROW_LIMIT  # noqa: E402
 
 
 class LshState:
@@ -673,10 +650,25 @@ class LshState:
         self.bands = bands
         self.delta = delta
 
+    def unpersist(self) -> None:
+        """Release any cached blocks behind this state (and its delta).
+        Safe to call once the state has been persisted to parquet and
+        will be re-loaded from disk — the streaming loop does this per
+        micro-batch so cached epoch signatures never accumulate. A state
+        still being CHAINED in-session should not be unpersisted (its
+        lazy successors would recompute the minhash UDF)."""
+        self.sigs.unpersist()
+        self.bands.unpersist()
+        if self.delta is not None:
+            self.delta.unpersist()
+
 
 def _band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """(id, sig) -> exploded (id, band, bh) LSH bucket rows (JVM xxhash64
-    over signature slices — cheap relative to the minhash UDF)."""
+    over signature slices — cheap relative to the minhash UDF). The ONE
+    definition of the band hash: batch and incremental LSH both call it,
+    so the banding can never silently diverge between them (their
+    equivalence contract depends on identical bucket keys)."""
     rows = n_hashes // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),
@@ -689,6 +681,35 @@ def _band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             .select("id", "b.band", "b.bh"))
 
 
+def _capped_bucket_pairs(banded: DataFrame, cap: int) -> DataFrame:
+    """Shared hot-bucket-capped candidate generation over (id, band, bh)
+    bucket rows: enumerated (a < b, capped=false) pairs for buckets of
+    size <= cap, min-id-representative star rows (capped=true) for
+    oversized ones — O(g) instead of O(g^2) per bucket. The one
+    definition of the cap semantics for batch LSH and the incremental
+    operator's new-x-new stage (the new-x-old probe is a different join
+    shape and keeps its own variant). Bucket sizes come from a
+    partial-aggregating groupBy (skew-immune) joined back on (band, bh);
+    AQE splits a hot bucket on the join."""
+    sized = banded.join(
+        banded.groupBy("band", "bh").agg(F.count("*").alias("g")),
+        ["band", "bh"])
+    small = sized.filter(F.col("g") <= cap)
+    pairs = (small.select(F.col("id").alias("a"), "band", "bh")
+             .join(small.select(F.col("id").alias("b"), "band", "bh"),
+                   ["band", "bh"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", F.lit(False).alias("capped")))
+    # oversized buckets: O(g) star rows around the min-id representative
+    # (rep < member always holds, so a < b is preserved)
+    reps = (sized.filter(F.col("g") > cap)
+            .groupBy("band", "bh").agg(F.min("id").alias("a")))
+    star = (sized.join(reps, ["band", "bh"])
+            .filter(F.col("id") != F.col("a"))
+            .select("a", F.col("id").alias("b"), F.lit(True).alias("capped")))
+    return pairs.unionByName(star)
+
+
 def incremental_lsh_dup_pairs(new_docs: DataFrame,
                               state: LshState | None = None,
                               id_col: str = "doc_id",
@@ -696,7 +717,8 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
                               n_hashes: int = 64, bands: int = 16,
                               shingle_k: int = 5, threshold: float = 0.7,
                               band_group_cap: int = 64,
-                              broadcast_new: bool | None = None):
+                              broadcast_new: bool | None = None,
+                              materialize: bool = True):
     """CDC-native near-dup detection: dedup ONE epoch's new documents
     against everything already ingested WITHOUT re-minhashing or
     re-pairing the existing corpus. Returns ``(pairs, new_state)`` where
@@ -745,31 +767,30 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
     new_bands = _band_buckets(new_sigs, n_hashes, bands).cache()
 
     # ---- new x new: the batch bucket logic on the epoch alone
-    sized_nn = new_bands.join(
-        new_bands.groupBy("band", "bh").agg(F.count("*").alias("g")),
-        ["band", "bh"])
-    small_nn = sized_nn.filter(F.col("g") <= band_group_cap)
-    nn_pairs = (small_nn.select(F.col("id").alias("a"), "band", "bh")
-                .join(small_nn.select(F.col("id").alias("b"), "band", "bh"),
-                      ["band", "bh"])
-                .filter(F.col("a") < F.col("b"))
-                .select("a", "b", F.lit(False).alias("capped")))
-    reps_nn = (sized_nn.filter(F.col("g") > band_group_cap)
-               .groupBy("band", "bh").agg(F.min("id").alias("a")))
-    star_nn = (sized_nn.join(reps_nn, ["band", "bh"])
-               .filter(F.col("id") != F.col("a"))
-               .select("a", F.col("id").alias("b"),
-                       F.lit(True).alias("capped")))
-    cand = nn_pairs.unionByName(star_nn)
+    cand = _capped_bucket_pairs(new_bands, band_group_cap)
 
     # ---- new x old: map-side probe of the persisted bucket table
     if state is not None:
         if broadcast_new is None:
             broadcast_new = new_bands.count() <= _BCAST_ROW_LIMIT
         probe = F.broadcast(new_bands) if broadcast_new else new_bands
+        # CDC-update rule: a doc_id re-appearing in this batch SUPERSEDES
+        # its old version — exclude the stale state rows from probing and
+        # verification (anti-join on the skinny batch id set, broadcast
+        # under the same guard), otherwise an updated doc would carry two
+        # live signatures and every (updated_doc, x) pair would emit twice
+        # with conflicting est_jaccard. Ids updated in EARLIER epochs are
+        # the persistence layer's contract: chained in-session states keep
+        # the one-sig-per-id invariant automatically (the anti-join below
+        # rewrites them), and the parquet layer restores it via
+        # StreamingDedup(ids_may_update=True) / compact().
+        new_ids = new_sigs.select("id")
+        anti_ids = F.broadcast(new_ids) if broadcast_new else new_ids
+        state_sigs = state.sigs.join(anti_ids, "id", "left_anti")
+        state_bands = state.bands.join(anti_ids, "id", "left_anti")
         # matched = state rows in buckets some new doc hits (map-side
         # semi when broadcast; state never shuffles for it)
-        matched = (state.bands
+        matched = (state_bands
                    .join(probe.select("band", "bh").distinct(),
                          ["band", "bh"], "left_semi"))
         sized_no = matched.join(
@@ -790,12 +811,25 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
         cand = cand.unionByName(no_pairs).unionByName(star_no)
 
     cand = (cand.filter(F.col("a") != F.col("b"))
-            .groupBy("a", "b").agg(F.max("capped").alias("capped")))
+            .groupBy("a", "b").agg(F.max("capped").alias("capped"))
+            .cache())
+    n_cand = cand.count()
 
     all_sigs = (new_sigs if state is None
-                else state.sigs.unionByName(new_sigs))
-    sa = all_sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
-    sb = all_sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+                else state_sigs.unionByName(new_sigs))
+    # verification touches only ids that appear in some candidate pair:
+    # semi-filter the (possibly corpus-sized) signature state by the
+    # skinny candidate id set, broadcast when it fits so the state scan
+    # stays map-side (the docstring's 'semi-filtered subset' promise —
+    # previously the joins consumed all_sigs whole)
+    cand_ids = (cand.select(F.col("a").alias("id"))
+                .unionByName(cand.select(F.col("b").alias("id")))
+                .distinct())
+    if 2 * n_cand <= _BCAST_ROW_LIMIT:
+        cand_ids = F.broadcast(cand_ids)
+    verif = all_sigs.join(cand_ids, "id", "left_semi")
+    sa = verif.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = verif.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     pairs = (cand.join(sa, "a").join(sb, "b")
              .withColumn(
                  "est_jaccard",
@@ -803,8 +837,17 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
                         " v -> v))") / F.lit(n_hashes))
              .filter((F.col("est_jaccard") >= threshold) | F.col("capped"))
              .select("a", "b", "est_jaccard", "capped"))
+    if materialize:
+        # materialize the skinny result now so the cand cache can be
+        # dropped immediately instead of pinning executor storage for
+        # the life of the session (the streaming loop calls this once
+        # per micro-batch — leaked caches would be unbounded there).
+        # materialize=False keeps the lazy plan inspectable (plan tests);
+        # the caller then owns the cand cache's lifetime.
+        pairs = pairs.localCheckpoint(eager=True)
+        cand.unpersist()
     all_bands = (new_bands if state is None
-                 else state.bands.unionByName(new_bands))
+                 else state_bands.unionByName(new_bands))
     return pairs, LshState(all_sigs, all_bands,
                            delta=LshState(new_sigs, new_bands))
 

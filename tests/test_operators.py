@@ -1401,3 +1401,35 @@ def test_dedup_corpus_policy_validation(spark):
         dedup_corpus(docs, pairs, keep="newest")
     with pytest.raises(ValueError):
         dedup_corpus(docs, pairs, keep="max_quality")   # no quality_col
+
+
+def test_incremental_lsh_update_supersedes_stale_version(spark):
+    """CDC update: a doc_id re-delivered with new text replaces its old
+    signature — the stale version must not keep matching, and no (a, b)
+    key may emit twice with conflicting est_jaccard."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_lsh_dup_pairs)
+
+    base = " ".join(("the quick brown fox jumps over the lazy dog and "
+                     "then runs far away into the deep dark forest "
+                     "looking for food " * 6).split())
+    toks = base.split()
+    toks[7] = "cat"                      # one token off: jaccard ~0.97
+    near = " ".join(toks)
+    unrelated = ("completely different content about spark plans and "
+                 "shuffle exchanges nothing like the original text " * 6)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    e1 = mk([(10, base), (11, near)])
+    # doc 10 UPDATED to unrelated text; doc 50 copies 11's text
+    e2 = mk([(10, unrelated), (50, near)])
+
+    p1, st = incremental_lsh_dup_pairs(e1, None, threshold=0.5)
+    assert {(r.a, r.b) for r in p1.collect()} == {(10, 11)}
+    p2, _ = incremental_lsh_dup_pairs(e2, st, threshold=0.5)
+    rows = p2.collect()
+    keys = [(r.a, r.b) for r in rows]
+    assert len(keys) == len(set(keys))          # unique (a, b) contract
+    assert (11, 50) in keys                     # new copy found
+    # v1 of doc 10 is superseded: its old text must not match doc 50,
+    # and the updated doc 10 matches nothing
+    assert (10, 50) not in keys and (10, 11) not in keys

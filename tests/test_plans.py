@@ -309,9 +309,13 @@ def test_incremental_lsh_state_probe_is_mapside(spark):
     old = docs.filter("doc_id % 2 = 0")
     new = docs.filter("doc_id % 2 = 1")
     _, st = incremental_lsh_dup_pairs(old, None)
-    pairs, _ = incremental_lsh_dup_pairs(new, st, broadcast_new=True)
+    pairs, _ = incremental_lsh_dup_pairs(new, st, broadcast_new=True,
+                                         materialize=False)
     plan = explain_str(pairs, mode="simple")
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    # stale-version exclusion: the state is anti-joined against the
+    # batch's id set map-side (no state shuffle for it either)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
     for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = {c.strip().split("#")[0] for c in cols.split(",")
                 if not c.strip().isdigit()}

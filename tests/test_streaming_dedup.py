@@ -85,8 +85,73 @@ def test_streaming_dedup_through_structured_streaming(spark, tmp_path):
                         str(tmp_path / "pairs"), threshold=0.5)
     q = sd.start_stream(docs_dir, str(tmp_path / "ckpt"),
                         max_files_per_trigger=1)
-    q.awaitTermination(300)
+    try:
+        assert q.awaitTermination(300) is True   # drained, not timed out
+    finally:
+        q.stop()
+        shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
     got = _collect_pairs(sd.pairs())
     exp = _collect_pairs(lsh_duplicate_pairs(full, threshold=0.5))
     assert got == exp and got
-    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+
+def test_streaming_dedup_ids_may_update_keeps_latest(spark, tmp_path):
+    """An id updated in an EARLIER batch: with ids_may_update=True the
+    persisted stale generation is dropped at load, so later batches only
+    match the live version."""
+    base = " ".join(("the quick brown fox jumps over the lazy dog and "
+                     "then runs far away into the deep dark forest "
+                     "looking for food " * 6).split())
+    toks = base.split()
+    toks[7] = "cat"                      # one token off: jaccard ~0.97
+    near = " ".join(toks)
+    unrelated = ("completely different content about spark plans and "
+                 "shuffle exchanges nothing like the original text " * 6)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), ids_may_update=True,
+                        threshold=0.5)
+    sd.apply_batch(mk([(10, base), (11, near)]), 0)
+    sd.apply_batch(mk([(10, unrelated)]), 1)        # update, two batches ago
+    sd.apply_batch(mk([(50, near)]), 2)
+    keys = {(r.a, r.b) for r in sd.pairs().collect()}
+    assert (10, 11) in keys          # found while v1 was live
+    assert (11, 50) in keys          # matches the live corpus
+    assert (10, 50) not in keys      # v1 is dead state, must not match
+
+
+def test_streaming_dedup_compact_preserves_state_and_pairs(spark, tmp_path):
+    """compact(): one live generation per id, same pairs() view, same
+    future matching behavior, old generation root gone."""
+    import os
+
+    base = " ".join(("the quick brown fox jumps over the lazy dog and "
+                     "then runs far away into the deep dark forest "
+                     "looking for food " * 6).split())
+    toks = base.split()
+    toks[7] = "cat"                      # one token off: jaccard ~0.97
+    near = " ".join(toks)
+    unrelated = ("completely different content about spark plans and "
+                 "shuffle exchanges nothing like the original text " * 6)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), ids_may_update=True,
+                        threshold=0.5)
+    sd.apply_batch(mk([(10, base), (11, near)]), 0)
+    sd.apply_batch(mk([(10, unrelated)]), 1)
+    pre_pairs = _collect_pairs(sd.pairs())
+    pre_sigs = {(r.id, tuple(r.sig)) for r in sd.load_state().sigs.collect()}
+    assert sd.compact() is True
+    assert sd._current() == "gen-1"
+    assert not os.path.isdir(os.path.join(str(tmp_path / "state"), "gen-0"))
+    assert sd.committed_batches() == [0, 1]
+    assert _collect_pairs(sd.pairs()) == pre_pairs
+    post_sigs = {(r.id, tuple(r.sig))
+                 for r in sd.load_state().sigs.collect()}
+    assert post_sigs == pre_sigs                 # keep-latest, nothing else
+    assert len({i for i, _ in post_sigs}) == len(post_sigs)  # one gen per id
+    # the stream continues over the compacted state
+    sd.apply_batch(mk([(50, near)]), 2)
+    keys = {(r.a, r.b) for r in sd.pairs().collect()}
+    assert (11, 50) in keys and (10, 50) not in keys
+    assert sd.compact() is True                  # idempotent re-compact
