@@ -1433,3 +1433,60 @@ def test_incremental_lsh_update_supersedes_stale_version(spark):
     # v1 of doc 10 is superseded: its old text must not match doc 50,
     # and the updated doc 10 matches nothing
     assert (10, 50) not in keys and (10, 11) not in keys
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_lsh_randomized_cdc_equals_batch(spark, seed):
+    """Randomized CDC sequences (inserts + in-place updates of earlier
+    ids): at every step, the incremental pairs must equal batch
+    lsh_duplicate_pairs over the LIVE (keep-latest) corpus restricted to
+    pairs involving that step's ids — same keys, same est_jaccard. This
+    is the update-generalization of the append-only equivalence contract
+    (test_incremental_lsh_equals_batch): chained states must behave as if
+    every superseded version never existed."""
+    import random
+
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_lsh_dup_pairs, lsh_duplicate_pairs)
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def fresh_text():
+        return " ".join(rng.choice(vocab) for _ in range(60))
+
+    def mutate(text, n_edits=2):
+        toks = text.split()
+        for _ in range(n_edits):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        return " ".join(toks)
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    live: dict[int, str] = {}
+    next_id = 0
+    state = None
+    for step in range(4):
+        batch: dict[int, str] = {}
+        for _ in range(5):
+            roll = rng.random()
+            if roll < 0.4 or not live:
+                batch[next_id] = fresh_text()          # unrelated insert
+                next_id += 1
+            elif roll < 0.7:
+                src = rng.choice(list(live))
+                batch[next_id] = mutate(live[src])     # planted near-dup
+                next_id += 1
+            else:
+                tgt = rng.choice(list(live))           # CDC update
+                # half the updates rewrite entirely, half drift slightly
+                batch[tgt] = (fresh_text() if rng.random() < 0.5
+                              else mutate(live[tgt]))
+        live.update(batch)
+        pairs, state = incremental_lsh_dup_pairs(
+            mk(sorted(batch.items())), state, threshold=0.5)
+        got = {(r.a, r.b): round(r.est_jaccard, 6) for r in pairs.collect()}
+        ref_pairs = lsh_duplicate_pairs(
+            mk(sorted(live.items())), threshold=0.5).collect()
+        want = {(r.a, r.b): round(r.est_jaccard, 6) for r in ref_pairs
+                if r.a in batch or r.b in batch}
+        assert got == want, (step, got, want)
