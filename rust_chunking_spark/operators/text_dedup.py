@@ -642,25 +642,33 @@ class LshState:
     ``sigs``/``bands`` instead would rewrite the whole corpus-sized state
     every epoch (see streaming/dedup_stream.py)."""
 
-    __slots__ = ("sigs", "bands", "delta")
+    __slots__ = ("sigs", "bands", "delta", "scratch")
 
     def __init__(self, sigs: DataFrame, bands: DataFrame,
-                 delta: "LshState | None" = None):
+                 delta: "LshState | None" = None,
+                 scratch: "list[DataFrame] | None" = None):
         self.sigs = sigs
         self.bands = bands
         self.delta = delta
+        #: intermediate caches (e.g. the candidate-pair set under a lazy
+        #: ``materialize=False`` result) whose lifetime the CALLER owns:
+        #: consume the pairs DataFrame first, then :meth:`unpersist`
+        self.scratch = scratch or []
 
     def unpersist(self) -> None:
-        """Release any cached blocks behind this state (and its delta).
-        Safe to call once the state has been persisted to parquet and
-        will be re-loaded from disk — the streaming loop does this per
-        micro-batch so cached epoch signatures never accumulate. A state
-        still being CHAINED in-session should not be unpersisted (its
-        lazy successors would recompute the minhash UDF)."""
+        """Release any cached blocks behind this state (its delta and
+        scratch included). Safe to call once the state has been persisted
+        to parquet and will be re-loaded from disk AND the pairs result
+        has been consumed — the streaming loop does this per micro-batch
+        so cached epoch signatures never accumulate. A state still being
+        CHAINED in-session should not be unpersisted (its lazy successors
+        would recompute the minhash UDF)."""
         self.sigs.unpersist()
         self.bands.unpersist()
         if self.delta is not None:
             self.delta.unpersist()
+        for df in self.scratch:
+            df.unpersist()
 
 
 def _band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -837,19 +845,24 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
                         " v -> v))") / F.lit(n_hashes))
              .filter((F.col("est_jaccard") >= threshold) | F.col("capped"))
              .select("a", "b", "est_jaccard", "capped"))
+    scratch = []
     if materialize:
         # materialize the skinny result now so the cand cache can be
         # dropped immediately instead of pinning executor storage for
-        # the life of the session (the streaming loop calls this once
-        # per micro-batch — leaked caches would be unbounded there).
-        # materialize=False keeps the lazy plan inspectable (plan tests);
-        # the caller then owns the cand cache's lifetime.
+        # the life of the session. materialize=False keeps the lazy plan
+        # inspectable (plan tests) and avoids a double materialization
+        # for callers whose very next action IS a terminal write — the
+        # streaming loop writes pairs straight to parquet and then
+        # releases the cand cache via LshState.unpersist (scratch).
         pairs = pairs.localCheckpoint(eager=True)
         cand.unpersist()
+    else:
+        scratch.append(cand)
     all_bands = (new_bands if state is None
                  else state_bands.unionByName(new_bands))
     return pairs, LshState(all_sigs, all_bands,
-                           delta=LshState(new_sigs, new_bands))
+                           delta=LshState(new_sigs, new_bands),
+                           scratch=scratch)
 
 
 

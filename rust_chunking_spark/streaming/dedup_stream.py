@@ -166,9 +166,14 @@ class StreamingDedup:
         if os.path.exists(self._marker(batch_id)):
             return False
         state = self.load_state()
+        # materialize=False: the parquet write below IS the one
+        # materialization of the pairs (an eager localCheckpoint first
+        # would compute the result twice per micro-batch); the candidate
+        # cache it leaves behind rides new_state.scratch and is released
+        # with the rest of the epoch caches after the commit marker.
         pairs, new_state = incremental_lsh_dup_pairs(
             docs, state, id_col=self.id_col, text_col=self.text_col,
-            **self.lsh_kwargs)
+            materialize=False, **self.lsh_kwargs)
         tag = f"batch={batch_id:06d}"
         pairs.write.mode("overwrite").parquet(
             os.path.join(self.pairs_dir, tag))
