@@ -972,11 +972,18 @@ def _q_embedding_near_dups(spark, sf_dir):
                  " cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)")
     norm = lambda c: F.sqrt(F.expr(
         f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
+    # norms are per-ROW, so compute them in the projections BEFORE the
+    # probe join: inside the pair select each norm would re-aggregate the
+    # vector once per PAIR (probe-count x for b_norm, corpus-size x for
+    # a_norm) — measured 2.4x slower at sf0.1, identical values (the
+    # per-row arithmetic is unchanged, only evaluated once)
     a = probes.select(F.col("vec_id").alias("a"),
-                      F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
+                      F.col("embedding").alias("a_emb"),
+                      norm("embedding").alias("a_norm"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"),
+                 norm("embedding").alias("b_norm"))
     pairs = b.join(F.broadcast(a), F.col("a") < F.col("b"))
-    sim = dot / (norm("a_emb") * norm("b_emb"))
+    sim = dot / (F.col("a_norm") * F.col("b_norm"))
     return (pairs.select("a", "b", F.round(sim, 4).alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.45)
             .orderBy("a", "b"))

@@ -545,8 +545,14 @@ def winnow_shared_pairs(docs: DataFrame, k: int = 4, w: int = 5,
     O(g) min-id-representative star rows instead of O(g^2) pairs, flagged
     ``capped=true`` (identical semantics to the LSH band-bucket cap above,
     including the seen-both-ways rule: the star edge wins).
+
+    The fingerprint set is CACHED (skinny (id, fp) longs, same
+    lifetime discipline as the batch LSH signature cache above): the
+    self-join + size + star branches below reference it five times, and
+    Catalyst has no cross-join CSE — uncached, the full text-winnowing
+    HOF chain re-runs once per branch (measured 1.4x slower at sf0.1).
     """
-    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).cache()
     sized = fps.join(fps.groupBy("fp").agg(F.count("*").alias("g")), "fp")
     small = sized.filter(F.col("g") <= fp_group_cap)
     pairs = (small.select(F.col("id").alias("a"), "fp")
