@@ -1062,25 +1062,23 @@ def _q_string_funcs(spark, sf_dir):
 def _q_chunk_stats(spark, sf_dir):
     """Reference print_info stats (filetest.rs:69-88) per algorithm over the
     corpus: avg/true-median/mode chunk length (rows-only; the reference's
-    unsorted-index 'median' quirk is documented, a real median is reported)."""
-    from rust_chunking_spark.functions.chunking import chunk_udf
+    unsorted-index 'median' quirk is documented, a real median is reported).
+    All seven algorithms run in ONE fused UDF pass over ONE scan
+    (multi_chunk_lens_udf) — the previous seven union branches paid the
+    Arrow/Python-worker setup per algorithm, ~3x the fused cost, for
+    identical per-algo lengths."""
+    from rust_chunking_spark.functions.chunking import multi_chunk_lens_udf
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"), "text")
-    parts = []
-    for algo, params in CHUNK_PARAMS.items():
-        udf = chunk_udf(algo, **params)
-        c = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
-             .select(F.explode("chunks").alias("c"))
-             .agg(F.lit(algo).alias("algo"),
-                  F.count("*").alias("n_chunks"),
-                  F.avg("c.len").alias("avg_len"),
-                  F.expr("percentile_approx(c.len, 0.5)").alias("median_len"),
-                  F.mode("c.len").alias("mode_len")))
-        parts.append(c)
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
-    return out.orderBy("algo")
+    udf = multi_chunk_lens_udf(CHUNK_PARAMS)
+    return (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
+            .select(F.explode("chunks").alias("c"))
+            .groupBy(F.col("c.algo").alias("algo"))
+            .agg(F.count("*").alias("n_chunks"),
+                 F.avg("c.len").alias("avg_len"),
+                 F.expr("percentile_approx(c.len, 0.5)").alias("median_len"),
+                 F.mode("c.len").alias("mode_len"))
+            .orderBy("algo"))
 
 
 # -------------------------------------------------------------------- entry

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -85,6 +86,41 @@ def chunk_udf(algo: str, **params):
         return pd.Series(out)
 
     return _chunk
+
+
+def multi_chunk_lens_udf(params_by_algo: dict):
+    """pandas UDF: binary -> array<struct<algo: string, len: long>> — chunk
+    lengths for EVERY algorithm in one Arrow round-trip. Exists for the
+    all-algorithms stats query (print_info parity over the corpus,
+    filetest.rs:69-88): per-algo :func:`chunk_udf` branches cost one scan +
+    one Python-worker feed EACH; at seven algorithms the fixed Arrow/UDF
+    setup dominates the (small) kernel time, so one fused pass over one
+    scan is ~3x cheaper end-to-end. Boundaries are the same vectorized
+    kernels, so the emitted lengths are identical to the per-algo UDFs.
+
+    ``params_by_algo``: {algo: param dict} — the algorithm set and params
+    are frozen into the UDF closure (LUTs ride along once, as usual)."""
+    chunkers = {algo: make_chunker(algo, **params)
+                for algo, params in params_by_algo.items()}
+    schema = ArrayType(StructType([
+        StructField("algo", StringType(), False),
+        StructField("len", LongType(), False),
+    ]))
+
+    @pandas_udf(schema)
+    def _multi(col: pd.Series) -> pd.Series:
+        out = []
+        for buf in col:
+            if buf is None:
+                out.append(None)
+                continue
+            b = bytes(buf)
+            out.append([{"algo": algo, "len": int(ln)}
+                        for algo, chunker in chunkers.items()
+                        for _, ln in chunker(b)])
+        return pd.Series(out)
+
+    return _multi
 
 
 def fingerprint_udf(algo: str = "super", **params):
