@@ -155,3 +155,26 @@ def test_streaming_dedup_compact_preserves_state_and_pairs(spark, tmp_path):
     keys = {(r.a, r.b) for r in sd.pairs().collect()}
     assert (11, 50) in keys and (10, 50) not in keys
     assert sd.compact() is True                  # idempotent re-compact
+
+
+def test_streaming_pairs_compose_with_dedup_corpus(spark, tmp_path):
+    """End-to-end pipeline composition: stream epochs through
+    StreamingDedup, then collapse the LIVE corpus with dedup_corpus over
+    the accumulated pairs — the survivors must equal dedup_corpus over
+    batch LSH pairs on the same corpus (the full CDC curation path:
+    ingest -> incremental near-dup -> canonical survivors)."""
+    from rust_chunking_spark.operators.text_dedup import (
+        dedup_corpus, lsh_duplicate_pairs)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.7)
+    for e in range(3):
+        sd.apply_batch(docs.filter(f"pmod(xxhash64(doc_id), 3) = {e}"), e)
+    got = sorted(r.doc_id for r in
+                 dedup_corpus(docs, sd.pairs()).select("doc_id").collect())
+    exp_pairs = lsh_duplicate_pairs(docs, threshold=0.7)
+    exp = sorted(r.doc_id for r in
+                 dedup_corpus(docs, exp_pairs).select("doc_id").collect())
+    assert got == exp
+    assert len(got) < docs.count()          # something was collapsed
