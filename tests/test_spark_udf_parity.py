@@ -88,3 +88,24 @@ def test_super_records_seed_parity(spark):
         != [(int(p), int(ln)) for p, ln in V.super_chunks(t, **params)]
         for i, t in enumerate(targets))
     assert diff
+
+
+def test_multi_chunk_lens_udf_matches_per_algo(spark):
+    """The fused all-algorithms UDF (one Arrow pass for the stats query)
+    must emit exactly the per-algo chunk_udf lengths, in algorithm-major
+    order, with None passthrough."""
+    from rust_chunking_spark.functions.chunking import multi_chunk_lens_udf
+
+    bufs = _corpus()
+    algos = ["super", "ae", "ram", "rabin", "seq", "ultra", "leap"]
+    udf = multi_chunk_lens_udf({a: {} for a in algos})
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bufs)] + [(len(bufs), None)],
+        "id long, html binary")
+    rows = {r.id: r.lens for r in
+            df.select("id", udf(F.col("html")).alias("lens")).collect()}
+    assert rows[len(bufs)] is None
+    for i, buf in enumerate(bufs):
+        expected = [(a, int(ln)) for a in algos
+                    for _, ln in V.ALGORITHMS[a](buf)]
+        assert [(c.algo, c.len) for c in rows[i]] == expected, f"row {i}"
