@@ -17,11 +17,13 @@ stable across Python/JVM versions and cluster sizes.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -483,7 +485,8 @@ def _star_components(canon: DataFrame, max_rounds: int = 50) -> DataFrame:
 
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        engine: str = "udf") -> DataFrame:
     """Document fingerprints by winnowing (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS scheme): hash every word ``k``-gram, slide a
     window of ``w`` consecutive gram hashes, and select each window's
@@ -504,27 +507,78 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
     fixed-width hex, so selection is engine-independent and the DuckDB
     twin (:func:`winnow_fingerprints_sql`) reproduces the exact set.
 
-    Plan shape: entirely row-local higher-order functions — hash array
-    bound once per row (array-wrap + transform, see
-    ``curation.word_ngrams`` for why), window minima O(grams x w) inside
-    whole-stage codegen, then one explode. ZERO shuffles: at 100 TB this
-    runs at scan speed; downstream consumers group by ``fp`` (one skinny
-    two-column shuffle) to find sharing documents.
+    Plan shape: one Arrow-batched pandas UDF, then one explode. ZERO
+    shuffles: at 100 TB this runs at scan speed; downstream consumers
+    group by ``fp`` (one skinny two-column shuffle) to find sharing
+    documents. Two equality-pytested engines, chosen by measurement at
+    two document lengths (32 cores, warm best-of-3): ``"udf"`` (default)
+    = hashlib's C md5 plus a numpy sliding-window minimum over the hex
+    prefix AS uint64 (fixed-width lowercase hex compares
+    lexicographically exactly like its big-endian numeric value);
+    ``"hof"`` = the original all-JVM nested higher-order functions. At
+    web-realistic ~6 KB docs the UDF is 1.8x faster (6.3 vs 11.5 s on
+    5k docs) and the gap grows with length — Catalyst interprets the
+    per-window ``array_min(slice(...))`` lambda per gram, O(grams x w)
+    allocations — while on ~300-byte toy rows the HOF is marginally
+    faster (0.74 vs 0.92 s; fixed Arrow round-trip dominates). The
+    default serves the corpus the operator exists for.
     """
-    from .curation import _word_ngrams_sql
-
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    hashes = (f"transform({_word_ngrams_sql(text_col, k)},"
-              f" g -> substring(md5(g), 1, 16))")
-    fps = (
-        f"flatten(transform(array({hashes}), hs -> "
-        f"case when size(hs) = 0 then cast(array() as array<string>) "
-        f"when size(hs) < {w} then array(array_min(hs)) "
-        f"else array_distinct(transform(sequence(1, size(hs) - {w - 1}),"
-        f" j -> array_min(slice(hs, j, {w})))) end))")
+    if engine not in ("udf", "hof"):
+        raise ValueError(f"engine must be 'udf' or 'hof', got {engine!r}")
+    if engine == "hof":
+        from .curation import _word_ngrams_sql
+        hashes = (f"transform({_word_ngrams_sql(text_col, k)},"
+                  f" g -> substring(md5(g), 1, 16))")
+        fps = (
+            f"flatten(transform(array({hashes}), hs -> "
+            f"case when size(hs) = 0 then cast(array() as array<string>) "
+            f"when size(hs) < {w} then array(array_min(hs)) "
+            f"else array_distinct(transform(sequence(1, size(hs) - {w - 1}),"
+            f" j -> array_min(slice(hs, j, {w})))) end))")
+        return docs.select(F.col(id_col).alias("id"),
+                           F.explode(F.expr(fps)).alias("fp"))
     return docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.expr(fps)).alias("fp"))
+                       F.explode(_winnow_fp_udf(k, w)(F.col(text_col)))
+                       .alias("fp"))
+
+
+def _winnow_fp_udf(k: int, w: int):
+    """pandas UDF: text -> array<string> of selected winnowing
+    fingerprints — bit-identical to the HOF/SQL formulation (same
+    ``split(text, ' ')`` tokenization including empty tokens, same
+    space-joined grams, same md5-prefix hashes, same degenerate-window
+    rules; pytest-pinned equal on testdata and adversarial edges)."""
+    md5 = hashlib.md5
+
+    @pandas_udf(ArrayType(StringType()))
+    def _fps(col: pd.Series) -> pd.Series:
+        out = []
+        for t in col:
+            if t is None:
+                out.append(None)
+                continue
+            ws = t.split(" ")
+            n = len(ws) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            # first 8 md5 bytes big-endian == first 16 hex chars ordered
+            h = np.frombuffer(
+                b"".join(md5(" ".join(ws[i:i + k]).encode("utf-8"))
+                         .digest()[:8] for i in range(n)),
+                dtype=">u8")
+            if n < w:
+                mins = h.min(keepdims=True)
+            else:
+                mins = pd.unique(
+                    np.lib.stride_tricks.sliding_window_view(h, w)
+                    .min(axis=1))
+            out.append([format(int(v), "016x") for v in mins])
+        return pd.Series(out)
+
+    return _fps
 
 
 def winnow_shared_pairs(docs: DataFrame, k: int = 4, w: int = 5,

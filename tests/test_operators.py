@@ -1490,3 +1490,28 @@ def test_incremental_lsh_randomized_cdc_equals_batch(spark, seed):
         want = {(r.a, r.b): round(r.est_jaccard, 6) for r in ref_pairs
                 if r.a in batch or r.b in batch}
         assert got == want, (step, got, want)
+
+
+def test_winnow_engines_identical(spark):
+    """The UDF and HOF winnowing engines must produce the identical
+    (id, fp) set — on real testdata and on adversarial edges (None,
+    empty, all-spaces, <k words, exactly k words, <w grams, repeated
+    tokens, consecutive spaces)."""
+    from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    u = {(r.id, r.fp) for r in winnow_fingerprints(docs).collect()}
+    h = {(r.id, r.fp)
+         for r in winnow_fingerprints(docs, engine="hof").collect()}
+    assert u == h and u
+    edge = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "    "), (3, "a b c"), (4, "a b c d"),
+         (5, "a  b   c d e f"), (6, "x " * 200),
+         (7, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    for kw in ({}, {"k": 2, "w": 3}, {"k": 1, "w": 1}):
+        u = {(r.id, r.fp)
+             for r in winnow_fingerprints(edge, **kw).collect()}
+        h = {(r.id, r.fp)
+             for r in winnow_fingerprints(edge, engine="hof", **kw).collect()}
+        assert u == h, kw
