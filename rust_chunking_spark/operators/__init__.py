@@ -1,6 +1,7 @@
 from .text_dedup import (  # noqa: F401
     connected_components,
     dedup_corpus,
+    incremental_exact_dup_pairs,
     incremental_lsh_dup_pairs,
     lsh_duplicate_pairs,
     minhash_signature_udf,

@@ -778,6 +778,90 @@ def _capped_bucket_pairs(banded: DataFrame, cap: int) -> DataFrame:
     return pairs.unionByName(star)
 
 
+def _probe_state_pairs(state_bands: DataFrame, probe,
+                       cap: int) -> DataFrame:
+    """Shared new-x-old stage of the incremental dedup operators: probe
+    the persisted (id, band, bh) state with a (usually broadcast) batch
+    of bucket rows. ``matched`` = state rows in buckets some new row
+    hits (map-side semi when the probe is broadcast — the state never
+    shuffles for it); sub-cap matched buckets enumerate (old, new) pairs
+    (capped=false), oversized ones emit one min-old-id star row per new
+    member (capped=true) — O(g_old) never O(g_old x epoch)."""
+    matched = (state_bands
+               .join(probe.select("band", "bh").distinct(),
+                     ["band", "bh"], "left_semi"))
+    sized_no = matched.join(
+        matched.groupBy("band", "bh").agg(F.count("*").alias("g")),
+        ["band", "bh"])
+    small_no = (sized_no.filter(F.col("g") <= cap)
+                .select(F.col("id").alias("old_id"), "band", "bh"))
+    no_pairs = (small_no.join(probe, ["band", "bh"])
+                .select(F.least("old_id", "id").alias("a"),
+                        F.greatest("old_id", "id").alias("b"),
+                        F.lit(False).alias("capped")))
+    reps_no = (sized_no.filter(F.col("g") > cap)
+               .groupBy("band", "bh").agg(F.min("id").alias("rep")))
+    star_no = (reps_no.join(probe, ["band", "bh"])
+               .select(F.least("rep", "id").alias("a"),
+                       F.greatest("rep", "id").alias("b"),
+                       F.lit(True).alias("capped")))
+    return no_pairs.unionByName(star_no)
+
+
+def incremental_exact_dup_pairs(new_docs: DataFrame,
+                                state: DataFrame | None = None,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                group_cap: int = 64,
+                                broadcast_new: bool | None = None):
+    """The exact-hash twin of :func:`incremental_lsh_dup_pairs` — the
+    FIRST rung of a CDC pipeline's dedup ladder (exact duplicates are
+    the bulk of web re-crawls; run this before the ~10x-costlier minhash
+    pass). Dedup one epoch's documents against everything already
+    ingested by full-content md5 equality, without re-hashing the
+    corpus. Returns ``(pairs, new_state)``: ``pairs`` = (a, b, capped)
+    restricted to pairs involving a new document, ``new_state`` = the
+    (id, h) hash table to persist / feed to the next epoch (skinny: two
+    columns; the same per-batch parquet-delta pattern as
+    streaming/dedup_stream.py applies).
+
+    Semantics shared with the LSH twin, one definition each:
+    within-epoch pairs via :func:`_capped_bucket_pairs`, the state probe
+    via :func:`_probe_state_pairs` (map-side under the guarded
+    broadcast), hot hash groups (identical boilerplate pages at web
+    scale) emit min-id star rows above ``group_cap`` instead of O(g^2)
+    pairs, and a doc_id re-delivered in this batch SUPERSEDES its old
+    hash (anti-join; one-hash-per-id is the persistence layer's contract
+    across epochs). md5 collisions are the standard
+    negligible-on-non-adversarial-data assumption, same as the batch
+    exact-dedup queries. No verification stage exists: hash equality IS
+    the verdict, so est_jaccard has no analogue here.
+    """
+    new = (new_docs.select(F.col(id_col).alias("id"),
+                           F.lit(0).alias("band"),
+                           F.md5(F.col(text_col)).alias("bh"))
+           .cache())
+    cand = _capped_bucket_pairs(new, group_cap)
+    if state is not None:
+        if broadcast_new is None:
+            broadcast_new = new.count() <= _BCAST_ROW_LIMIT
+        probe = F.broadcast(new) if broadcast_new else new
+        new_ids = new.select("id")
+        anti_ids = F.broadcast(new_ids) if broadcast_new else new_ids
+        state_b = (state.join(anti_ids, "id", "left_anti")
+                   .select("id", F.lit(0).alias("band"),
+                           F.col("h").alias("bh")))
+        cand = cand.unionByName(_probe_state_pairs(state_b, probe,
+                                                   group_cap))
+    pairs = (cand.filter(F.col("a") != F.col("b"))
+             .groupBy("a", "b").agg(F.max("capped").alias("capped")))
+    new_state = new.select("id", F.col("bh").alias("h"))
+    if state is not None:
+        new_state = state.join(anti_ids, "id", "left_anti") \
+                         .unionByName(new_state)
+    return pairs, new_state
+
+
 def incremental_lsh_dup_pairs(new_docs: DataFrame,
                               state: LshState | None = None,
                               id_col: str = "doc_id",
@@ -856,27 +940,8 @@ def incremental_lsh_dup_pairs(new_docs: DataFrame,
         anti_ids = F.broadcast(new_ids) if broadcast_new else new_ids
         state_sigs = state.sigs.join(anti_ids, "id", "left_anti")
         state_bands = state.bands.join(anti_ids, "id", "left_anti")
-        # matched = state rows in buckets some new doc hits (map-side
-        # semi when broadcast; state never shuffles for it)
-        matched = (state_bands
-                   .join(probe.select("band", "bh").distinct(),
-                         ["band", "bh"], "left_semi"))
-        sized_no = matched.join(
-            matched.groupBy("band", "bh").agg(F.count("*").alias("g")),
-            ["band", "bh"])
-        small_no = (sized_no.filter(F.col("g") <= band_group_cap)
-                    .select(F.col("id").alias("old_id"), "band", "bh"))
-        no_pairs = (small_no.join(probe, ["band", "bh"])
-                    .select(F.least("old_id", "id").alias("a"),
-                            F.greatest("old_id", "id").alias("b"),
-                            F.lit(False).alias("capped")))
-        reps_no = (sized_no.filter(F.col("g") > band_group_cap)
-                   .groupBy("band", "bh").agg(F.min("id").alias("rep")))
-        star_no = (reps_no.join(probe, ["band", "bh"])
-                   .select(F.least("rep", "id").alias("a"),
-                           F.greatest("rep", "id").alias("b"),
-                           F.lit(True).alias("capped")))
-        cand = cand.unionByName(no_pairs).unionByName(star_no)
+        cand = cand.unionByName(
+            _probe_state_pairs(state_bands, probe, band_group_cap))
 
     cand = (cand.filter(F.col("a") != F.col("b"))
             .groupBy("a", "b").agg(F.max("capped").alias("capped"))

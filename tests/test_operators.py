@@ -1515,3 +1515,72 @@ def test_winnow_engines_identical(spark):
         h = {(r.id, r.fp)
              for r in winnow_fingerprints(edge, engine="hof", **kw).collect()}
         assert u == h, kw
+
+
+# ------------------------------------------------ incremental exact dedup
+
+
+def test_incremental_exact_equals_batch(spark):
+    """Union of per-epoch incremental exact pairs == full-text-md5 batch
+    self-join over the whole corpus (cap-free), each pair surfacing in
+    the epoch its later member arrives."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_exact_dup_pairs)
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    e1 = mk([(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")])
+    e2 = mk([(10, "alpha beta"), (11, "unique one")])
+    e3 = mk([(20, "gamma delta"), (21, "unique one")])
+    got, state = {}, None
+    for ep, docs in ((1, e1), (2, e2), (3, e3)):
+        pairs, state = incremental_exact_dup_pairs(docs, state,
+                                                   group_cap=1000)
+        for r in pairs.collect():
+            assert (r.a, r.b) not in got, "pair re-emitted"
+            got[(r.a, r.b)] = ep
+    full = e1.unionByName(e2).unionByName(e3) \
+        .select("doc_id", F.md5("text").alias("h"))
+    batch = {(r.a, r.b) for r in
+             full.select(F.col("doc_id").alias("a"), "h")
+             .join(full.select(F.col("doc_id").alias("b"), "h"), "h")
+             .filter(F.col("a") < F.col("b")).collect()}
+    assert set(got) == batch
+    assert got[(0, 2)] == 1 and got[(0, 10)] == 2 and got[(2, 10)] == 2
+    assert got[(11, 21)] == 3
+
+
+def test_incremental_exact_update_supersedes(spark):
+    """A doc_id re-delivered with new text replaces its old hash: the
+    stale version must not keep matching."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_exact_dup_pairs)
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    p1, st = incremental_exact_dup_pairs(mk([(1, "aaa"), (2, "bbb")]))
+    assert p1.count() == 0
+    # doc 1 updated to "ccc"; doc 9 arrives with doc 1's OLD text
+    p2, st = incremental_exact_dup_pairs(mk([(1, "ccc"), (9, "aaa")]), st)
+    assert {(r.a, r.b) for r in p2.collect()} == set()
+    # doc 10 copies the LIVE doc 1
+    p3, st = incremental_exact_dup_pairs(mk([(10, "ccc")]), st)
+    assert {(r.a, r.b) for r in p3.collect()} == {(1, 10)}
+    # state holds exactly one hash per id
+    assert st.count() == st.select("id").distinct().count() == 4
+
+
+def test_incremental_exact_caps_hot_groups(spark):
+    """A boilerplate hash group larger than the cap emits min-old-id
+    star rows, never g_old x g_new enumerated pairs."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_exact_dup_pairs)
+
+    tmpl = "identical boilerplate page"
+    old = spark.createDataFrame([(i, tmpl) for i in range(40)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(100, tmpl), (101, "fresh words")],
+                                "doc_id long, text string")
+    _, st = incremental_exact_dup_pairs(old, group_cap=8)
+    pairs, _ = incremental_exact_dup_pairs(new, st, group_cap=8)
+    hits = [r for r in pairs.collect() if 100 in (r.a, r.b)]
+    assert hits and all(r.capped for r in hits)
+    assert {(r.a, r.b) for r in hits} == {(0, 100)}
