@@ -342,3 +342,31 @@ def test_dedup_corpus_anti_join_is_broadcast(spark):
                 if not c.strip().isdigit()}
         assert keys <= {"a", "b", "node", "d", "s", "lab",
                         "cluster_id"}, (keys, plan)
+
+
+def test_incremental_exact_state_probe_is_mapside(spark):
+    """incremental_exact_dup_pairs shares the LSH twin's scale shape: the
+    persisted hash state is probed map-side (broadcast semi), stale
+    versions are excluded map-side (broadcast anti), and every exchange
+    carries only skinny hash/pair/id keys — never the corpus text."""
+    import re
+
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_exact_dup_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _, st = incremental_exact_dup_pairs(docs.filter("doc_id % 2 = 0"))
+    pairs, _ = incremental_exact_dup_pairs(docs.filter("doc_id % 2 = 1"),
+                                           st, broadcast_new=True)
+    plan = explain_str(pairs, mode="simple")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = {c.strip().split("#")[0] for c in cols.split(",")
+                if not c.strip().isdigit()}
+        # "0" is the operator's literal band column (the shared helpers
+        # key on (band, bh); exact dedup has a single pseudo-band)
+        assert keys <= {"band", "bh", "a", "b", "id", "0"}, (keys, plan)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
