@@ -816,8 +816,10 @@ def incremental_exact_dup_pairs(new_docs: DataFrame,
                                 broadcast_new: bool | None = None):
     """The exact-hash twin of :func:`incremental_lsh_dup_pairs` — the
     FIRST rung of a CDC pipeline's dedup ladder (exact duplicates are
-    the bulk of web re-crawls; run this before the ~10x-costlier minhash
-    pass). Dedup one epoch's documents against everything already
+    the bulk of web re-crawls; run this before the costlier minhash pass
+    — measured 6.3x cheaper per epoch at 50k docs vs a 50k-doc state,
+    8 cores, best-of-2). Dedup one epoch's documents against everything
+    already
     ingested by full-content md5 equality, without re-hashing the
     corpus. Returns ``(pairs, new_state)``: ``pairs`` = (a, b, capped)
     restricted to pairs involving a new document, ``new_state`` = the
