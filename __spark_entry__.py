@@ -260,7 +260,13 @@ def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_chunking_spark.functions.chunking import fingerprint_udf
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"), "text")
-    udf = fingerprint_udf("super", **CHUNK_PARAMS["super"])
+    # asNondeterministic (guide §4.4): the explode's inferred
+    # size(chunks) > 0 filter was pushed below the _spread exchange,
+    # duplicating the UDF — every doc chunked+hashed TWICE, the pushed
+    # copy running serially on the unspread scan. Marking the (pure)
+    # UDF non-deterministic pins one evaluation above the exchange;
+    # values are unchanged.
+    udf = fingerprint_udf("super", **CHUNK_PARAMS["super"]).asNondeterministic()
     chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
               .select(F.explode("chunks").alias("c"))
               .select(F.col("c.hash").alias("h"), F.col("c.len").alias("len")))
@@ -278,7 +284,9 @@ def _chunk_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_chunking_spark.functions.chunking import chunk_udf
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"), "doc_id", "text")
-    udf = chunk_udf("super", **CHUNK_PARAMS["super"])
+    # asNondeterministic: stop the explode filter's pushdown from
+    # duplicating the UDF below the exchange (see _chunk_dedup_ratio)
+    udf = chunk_udf("super", **CHUNK_PARAMS["super"]).asNondeterministic()
     chunks = (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
               .select("doc_id", F.explode("chunks").alias("c")))
     return chunks.agg(
@@ -686,9 +694,16 @@ def _q_contamination(spark, sf_dir):
     shuffles (map-side join against the broadcast benchmark n-gram set)."""
     from rust_chunking_spark.operators.curation import ngram_contamination
 
+    # _spread the CORPUS side only: the word-ngram HOF is the dominant
+    # per-row compute and the toy-scale parquet is one split — without the
+    # spread it runs on one task (no-op at 100x, guide §2.5). The bench
+    # side stays unspread: it is 2% of the corpus and its n-gram set is
+    # counted by the broadcast guard, which would otherwise pay the
+    # repartition shuffle a second time.
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.expr(BENCH_PRED_SQL))
-    docs = d.filter(~F.expr(BENCH_PRED_SQL))
+    docs = _spread(spark, d.filter(~F.expr(BENCH_PRED_SQL)),
+                   "doc_id", "text")
     return (ngram_contamination(docs, bench, n=CONTAM_NGRAM)
             .orderBy("doc_id"))
 
@@ -1070,7 +1085,11 @@ def _q_chunk_stats(spark, sf_dir):
     from rust_chunking_spark.functions.chunking import multi_chunk_lens_udf
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"), "text")
-    udf = multi_chunk_lens_udf(CHUNK_PARAMS)
+    # asNondeterministic: stop the explode filter's pushdown from
+    # duplicating the 7-kernel UDF below the exchange (see
+    # _chunk_dedup_ratio) — the duplicate ran ALL SEVEN kernels a second
+    # time, serially, on the unspread scan
+    udf = multi_chunk_lens_udf(CHUNK_PARAMS).asNondeterministic()
     return (docs.withColumn("chunks", udf(F.encode(F.col("text"), "utf-8")))
             .select(F.explode("chunks").alias("c"))
             .groupBy(F.col("c.algo").alias("algo"))
