@@ -981,25 +981,55 @@ def _q_embedding_near_dups(spark, sf_dir):
     a minute at sf0.1; the documented all-corpus scale path is the
     LSH-bucketed variant in operators/similarity.py). Fully oracle-checked
     vs DuckDB's list_cosine_similarity."""
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    probes = e.filter(F.col("vec_id") < 128)
-    dot = F.expr("aggregate(zip_with(a_emb, b_emb, (x, y) ->"
-                 " cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)")
-    norm = lambda c: F.sqrt(F.expr(
-        f"aggregate({c}, 0D, (a, v) -> a + cast(v as double) * cast(v as double))"))
-    # norms are per-ROW, so compute them in the projections BEFORE the
-    # probe join: inside the pair select each norm would re-aggregate the
-    # vector once per PAIR (probe-count x for b_norm, corpus-size x for
-    # a_norm) — measured 2.4x slower at sf0.1, identical values (the
-    # per-row arithmetic is unchanged, only evaluated once)
-    a = probes.select(F.col("vec_id").alias("a"),
-                      F.col("embedding").alias("a_emb"),
-                      norm("embedding").alias("a_norm"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"),
-                 norm("embedding").alias("b_norm"))
-    pairs = b.join(F.broadcast(a), F.col("a") < F.col("b"))
-    sim = dot / (F.col("a_norm") * F.col("b_norm"))
-    return (pairs.select("a", "b", F.round(sim, 4).alias("cos_sim"))
+    # Bounded driver-side collect of the probe set (<= 128 rows — the same
+    # bounded-collect discipline as the IVF_TRAIN_SAMPLE quantizer): the
+    # previous shape computed probe x corpus cosines with interpreted
+    # zip_with/aggregate HOFs in a broadcast NLJ — Catalyst evaluates the
+    # lambda per element per PAIR with a fresh intermediate array each
+    # time, the dominant cost of the query (guide §4.2: hand whole
+    # batches to vectorized native code instead). One (batch x dim) @
+    # (dim x probes) float64 matmul per Arrow batch replaces corpus x 128
+    # interpreted folds; float->double widening is exact, so the sims
+    # agree with the HOF values to the last ulps and identically after
+    # the round(4) both engines apply (oracle-checked at every sf).
+    probe_rows = sorted(
+        (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+        for r in e.filter(F.col("vec_id") < 128).collect())
+    p_ids = np.array([t[0] for t in probe_rows], dtype=np.int64)
+    P = (np.stack([t[1] for t in probe_rows])
+         if probe_rows else np.zeros((0, 1)))
+    p_norms = np.sqrt((P * P).sum(axis=1))
+
+    def _pairs(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(p_ids) or not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            vecs = pdf["embedding"]
+            ok = np.array([v is not None and len(v) == P.shape[1]
+                           for v in vecs], dtype=bool)
+            if not ok.any():
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs[ok]])
+            b_ids = ids[ok].astype(np.int64)
+            sims = ((X @ P.T) / np.sqrt((X * X).sum(axis=1))[:, None]
+                    / p_norms[None, :])
+            # candidate mask: a < b, plus a SLACK raw-value prefilter —
+            # the exact cut stays in Spark on round(sim, 4) of the
+            # emitted double, so the threshold semantics are unchanged
+            # (any pair that can round to >= 0.45 has raw sim >= 0.44995)
+            mask = (p_ids[None, :] < b_ids[:, None]) & (sims >= 0.4498)
+            bi, ai = np.nonzero(mask)
+            yield pd.DataFrame({"a": p_ids[ai], "b": b_ids[bi],
+                                "sim": sims[bi, ai]})
+
+    pairs = e.mapInPandas(_pairs, "a long, b long, sim double")
+    return (pairs.select("a", "b", F.round("sim", 4).alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.45)
             .orderBy("a", "b"))
 
