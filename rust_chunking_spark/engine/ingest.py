@@ -63,7 +63,7 @@ import dataclasses
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.errors import AnalysisException
 
-from ..functions.chunking import (FP_CHUNK_SCHEMA, content_udf,
+from ..functions.chunking import (FP_CHUNK_SCHEMA, content_skip_udf,
                                   fingerprint_udf, sha3_256_udf)
 from .lake import AppendOnlyTable, BucketedLake
 
@@ -334,33 +334,58 @@ class CdcIngestJob:
         pre = self._join_cur(ev_pre, cur_meta_raw).withColumn(
             "pre_decision", self._pre_decision_expr()).cache()
 
-        # the ONE wide job: scan events -> fused fp+chunk UDF -> delta files
+        # the ONE wide job: scan events -> fused fp+chunk UDF -> delta files.
+        # Each content_check candidate carries its CURRENT fingerprint into
+        # the UDF, which skips chunking when the page is unchanged, and the
+        # no-op rows are dropped BEFORE the bucket shuffle: a no-op recrawl
+        # (a third of a CC-style epoch) previously rode the full pipeline —
+        # chunked, hashed per chunk, shuffled wide, written to the delta as
+        # a dead row compaction later dropped. Per-epoch delta IO is now
+        # O(changed bytes), not O(candidate bytes). cur_fp is attached for
+        # content_check rows ONLY: an insert-after-delete keeps cur_fp null
+        # here because tombstone meta retains the stale content_fp and an
+        # identical re-insert must still write its content row. The UDF is
+        # non-deterministic-marked so the fp filter's pushdown cannot
+        # duplicate the evaluation (guide §4.4).
         cand_urls = (pre.filter(F.col("pre_decision")
                                 .isin("insert", "content_check"))
-                     .select("url"))
-        c_udf = content_udf(self.algo, records=self.records,
-                            **self.chunk_params)
+                     .select("url",
+                             F.when(F.col("pre_decision") == "content_check",
+                                    F.col("cur_fp")).alias("__cur_fp")))
+        c_udf = content_skip_udf(self.algo, records=self.records,
+                                 **self.chunk_params).asNondeterministic()
         cand_rows = (latest
-                     .join(self._bcast(cand_urls, n_winners), "url",
-                           "left_semi")
-                     .withColumn("__c", c_udf(F.col("html")))
+                     .join(self._bcast(cand_urls, n_winners), "url", "inner")
+                     .withColumn("__c", c_udf(F.col("html"),
+                                              F.col("__cur_fp")))
+                     .filter(~F.col("__c.fp").eqNullSafe(F.col("__cur_fp"))
+                             | F.col("__c.fp").isNull())
                      .select("url", "warc_ts", "lsn", "html", "text", "lang",
                              F.col("__c.fp").alias("content_fp"),
                              F.col("__c.chunks").alias("chunks")))
         written = self.lake.write_delta(cand_rows, dirty, epoch)
         _mark("content_write")
 
+        # noop/update split from the staged files: a content_check row that
+        # was dropped by the unchanged-fp filter above is simply ABSENT
+        # from the delta — absence IS the no-op verdict (the old shape
+        # re-read every staged fingerprint and compared; the comparison
+        # already happened inside the UDF)
         staged = self.lake.read_files(self.spark, written)
         if staged is not None:
-            staged_fp = staged.select("url", F.col("content_fp").alias("ev_fp"))
+            staged_fp = staged.select("url",
+                                      F.col("content_fp").alias("ev_fp"),
+                                      F.lit(True).alias("__staged"))
             decided = pre.join(staged_fp, "url", "left")
         else:
-            decided = pre.withColumn("ev_fp", F.lit(None).cast("binary"))
+            decided = (pre.withColumn("ev_fp", F.lit(None).cast("binary"))
+                       .withColumn("__staged", F.lit(None).cast("boolean")))
         decided = decided.withColumn(
             "decision",
             F.when(F.col("pre_decision") == "content_check",
-                   F.when(F.col("ev_fp") == F.col("cur_fp"), F.lit("noop"))
-                   .otherwise(F.lit("update")))
+                   F.when(F.coalesce(F.col("__staged"), F.lit(False)),
+                          F.lit("update"))
+                   .otherwise(F.lit("noop")))
             .otherwise(F.col("pre_decision")))
         obs = None
         if (self.collect_metrics or not dirty
@@ -760,7 +785,8 @@ class CdcIngestJob:
         ).collect()[0]
         new_chunks = (uniq.filter(is_new)
                       .select("chunk_hash", "len")
-                      .withColumn("first_seen_epoch", F.lit(epoch)))
+                      .withColumn("first_seen_epoch",
+                                  F.lit(epoch).cast("long")))
         self.chunk_store.append(new_chunks, epoch, props={"deduped": True})
         # boundary-count histogram (north-star lineage item): 4 KiB buckets
         # of this epoch's written chunk lengths, weighted by occurrence.
@@ -1059,5 +1085,6 @@ class CdcIngestJob:
             uniq = uniq.join(store.select("chunk_hash"), "chunk_hash",
                              "left_anti")
         self.chunk_store.append(
-            uniq.withColumn("first_seen_epoch", F.lit(epoch)), epoch,
+            uniq.withColumn("first_seen_epoch", F.lit(epoch).cast("long")),
+            epoch,
             props={"deduped": True})

@@ -185,6 +185,53 @@ def content_udf(algo: str = "super", **params):
     return _content
 
 
+CONTENT_SKIP_SCHEMA = StructType([
+    StructField("fp", BinaryType(), True),
+    StructField("chunks", FP_CHUNK_SCHEMA, True),
+])
+
+
+def content_skip_udf(algo: str = "super", records=None, **params):
+    """Two-column variant of :func:`content_udf`: ``(html, cur_fp) ->
+    struct(fp, chunks)`` where ``chunks`` is computed ONLY when the page
+    fingerprint differs from ``cur_fp`` (the caller's current state for
+    the key). The MoR content pass feeds each candidate's current
+    fingerprint in and drops unchanged rows before the bucket shuffle —
+    a no-op recrawl (a third of a CC-style recrawl epoch) then costs one
+    sha3 instead of sha3 + chunking + per-chunk hashing + a wide
+    shuffled+written delta row. Rows whose fp matches get chunks=null
+    (they are filtered out before the write; the null never lands).
+    MUST be used ``.asNondeterministic()`` when its output feeds a
+    filter, or the filter pushdown re-evaluates the UDF (guide §4.4) —
+    the engine call site does this.
+    """
+    chunker = make_chunker(algo, records=records, **params)
+
+    @pandas_udf(CONTENT_SKIP_SCHEMA)
+    def _content(col: pd.Series, cur: pd.Series) -> pd.DataFrame:
+        fps, chks = [], []
+        for buf, cfp in zip(col, cur):
+            if buf is None:
+                fps.append(None)
+                chks.append(None)
+                continue
+            b = bytes(buf)
+            fp = hashlib.sha3_256(b).digest()
+            fps.append(fp)
+            if cfp is not None and bytes(cfp) == fp:
+                chks.append(None)      # unchanged: dropped pre-shuffle
+                continue
+            arr = chunker(b)
+            chks.append([
+                {"pos": int(p), "len": int(ln),
+                 "hash": hashlib.sha3_256(b[p:p + ln]).digest()}
+                for p, ln in arr
+            ])
+        return pd.DataFrame({"fp": fps, "chunks": chks})
+
+    return _content
+
+
 @pandas_udf(BinaryType())
 def sha3_256_udf(col: pd.Series) -> pd.Series:
     """SHA3-256 of a binary column (Spark sha2 is SHA-2; reference uses SHA3)."""

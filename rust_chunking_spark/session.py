@@ -42,6 +42,15 @@ def get_spark(app_name: str = "rust-chunking-spark", cpus: int | None = None,
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    # Opt-in Spark event log (profiling only — default off): stage-level
+    # task metrics are the guide-§1 measurement loop's raw material and
+    # the UI is disabled in this sandbox, so the event log is the one way
+    # to see where a replay's wall-clock actually goes.
+    elog = os.environ.get("SPARK_GRAFT_EVENT_LOG_DIR")
+    if elog:
+        os.makedirs(elog, exist_ok=True)
+        b = (b.config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.dir", elog))
     # Opt-in parquet codec override (A/B'd in BENCH.md round 6): the write
     # phase dominates the replay hot path, and the codec sets its
     # CPU-vs-bytes trade. Default (unset) keeps Spark's snappy.

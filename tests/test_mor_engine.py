@@ -49,21 +49,25 @@ def test_mor_full_replay_matches_oracle(spark, wal, tmp_path):
 
 
 def test_mor_writes_only_content_candidates(spark, wal, tmp_path):
-    """The point of MoR: the per-epoch wide delta holds only the content
-    candidates (inserts + newer updates, including the ones that turn out
-    no-op after the fused fingerprint pass) — never the carry set. No-op
-    rows ride along unreferenced and are dropped by compaction."""
+    """The point of MoR: the per-epoch wide delta holds only the APPLIED
+    content rows (inserts + updates) — never the carry set, and since the
+    round-8 unchanged-fp drop not the no-op recrawls either (the fused
+    UDF compares each candidate's fingerprint against current state and
+    unchanged rows are filtered before the bucket shuffle): per-epoch
+    delta IO is O(changed bytes), not O(candidate bytes)."""
     _write_wal(spark, wal, str(tmp_path / "wal"))
     job = _mk_mor_job(spark, str(tmp_path))
     results = job.run(str(tmp_path / "wal"), list(range(N_EPOCHS)))
+    saw_noop = False
     for m in results[1:]:
         stats = job.lake.current_snapshot()["stats"][str(m.epoch)]
         files = stats["merge_files"]
         written = job.lake.read_files(spark, files)
         n_written = written.count() if written is not None else 0
-        candidates = m.applied_insert + m.applied_update + m.skipped_noop
-        assert n_written == candidates
+        assert n_written == m.applied_insert + m.applied_update
         assert n_written < m.events_seen  # never the whole batch, post-LWW
+        saw_noop = saw_noop or m.skipped_noop > 0
+    assert saw_noop  # the drop was actually exercised
 
 
 def test_mor_replay_idempotent_and_resumable(spark, wal, tmp_path):
@@ -101,6 +105,35 @@ def test_mor_compaction_preserves_state(spark, wal, tmp_path):
     snap2 = job.lake.current_snapshot()
     assert all(len(fl) <= 1 for fl in snap2["files"].values())
     _assert_matches_oracle(spark, job.lake, wal)
+
+
+def test_mor_reinsert_after_delete_identical_content(spark, tmp_path):
+    """Edge of the unchanged-fp drop: tombstone meta retains the stale
+    content_fp, so an insert-after-delete with IDENTICAL bytes must NOT
+    be skipped as unchanged — the new content row has to land in the
+    delta or the re-insert's meta pointer would resolve to nothing (the
+    drop therefore applies to content_check candidates only)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 3, 1) + dt.timedelta(minutes=m)
+    A = b"<html>same bytes before and after the delete</html>" * 8
+    schema = ("url string, warc_ts timestamp, lsn long, op string, "
+              "html binary, text string, lang string")
+    epochs = [
+        [("u1", t(0), 1, "I", A, "a", "en")],
+        [("u1", t(10), 2, "D", None, None, "en")],
+        [("u1", t(20), 3, "I", A, "a", "en")],
+    ]
+    wal_dir = str(tmp_path / "wal")
+    for ep, events in enumerate(epochs):
+        spark.createDataFrame(events, schema).write.mode(
+            "overwrite").parquet(f"{wal_dir}/epoch={ep:06d}")
+    job = _mk_mor_job(spark, str(tmp_path))
+    results = job.run(wal_dir, [0, 1, 2])
+    assert results[2].applied_insert == 1
+    rows = job.lake.read(spark).filter(~F.col("deleted")).collect()
+    assert len(rows) == 1 and bytes(rows[0].html) == A
+    assert rows[0].chunks is not None and len(rows[0].chunks) > 0
 
 
 def test_mor_matches_cow_final_state(spark, wal, tmp_path):
