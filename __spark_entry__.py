@@ -126,6 +126,11 @@ def _prefix_dup_candidates(d: DataFrame, with_bound: bool = False):
     drives the downstream broadcast guards."""
     keyed = d.select("doc_id", F.md5(F.substring("text", 1, 50)).alias("h"))
     grp = keyed.groupBy("h").agg(F.count("*").alias("g"))
+    if with_bound:
+        # the bound collect below and the sized join both consume grp; the
+        # cache keeps the md5+aggregate pipeline from running twice (grp is
+        # skinny: 16-byte hash + count)
+        grp = grp.cache()
     sized = keyed.join(grp, "h")
     small = sized.filter(F.col("g") <= DUP_GROUP_CAP)
     pairs = (small.select(F.col("doc_id").alias("a"), "h")
@@ -584,9 +589,13 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     ids = (cand.select(F.col("a").alias("doc_id"))
            .union(cand.select(F.col("b").alias("doc_id"))).distinct())
     from rust_chunking_spark.operators.curation import word_ngrams
+    # cached: the pair join below reads sh TWICE (sha and shb branches) and
+    # Catalyst has no cross-branch CSE — uncached, the word-3-gram HOF (the
+    # query's dominant per-row compute) runs twice per candidate doc. The
+    # cached set is candidate docs only (bounded by 2 * n_cand), skinny.
     sh = (d.join(_bcast_if(ids, 2 * n_cand), "doc_id", "left_semi")
           .select("doc_id", F.array_distinct(word_ngrams("text", 3))
-                  .alias("sh")))
+                  .alias("sh")).cache())
     pairs = (sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
              .join(_bcast_if(cand, n_cand), "a")
              .join(sh.select(F.col("doc_id").alias("b"),

@@ -380,8 +380,15 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     if algorithm == "star":
         return _star_components(canon)
 
+    # Materialize the symmetric edge set ONCE (skinny: two long columns):
+    # every round joins against `e`, and without the checkpoint each
+    # round re-executed the caller's full edge-producing lineage (for the
+    # dedup queries that is the whole md5/group/self-join candidate
+    # generation) — measured as the dominant cost of dup_clusters. Same
+    # per-round lineage-cut discipline as `merged` below.
     e = canon.unionByName(canon.select(F.col("d").alias("s"),
-                                       F.col("s").alias("d")))
+                                       F.col("s").alias("d"))
+              ).localCheckpoint()
     labels = (e.select(F.col("s").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
     prev = None
@@ -401,8 +408,10 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         changed = merged.filter("chg").count()
         labels = merged.select("node", "lab")
         if changed == 0:
+            e.unpersist()
             return labels.select(F.col("node"),
                                  F.col("lab").alias("cluster_id"))
+    e.unpersist()
     if algorithm == "auto":
         if prev is not None:
             prev.unpersist()
