@@ -763,9 +763,11 @@ def _q_winnow_fingerprints(spark, sf_dir):
     (operators/text_dedup.py: winnow_fingerprints, the MOSS scheme): per
     doc, the distinct window minima over word-4-gram hashes — the
     position-independent fingerprint set plagiarism/overlap detection
-    groups by. Entirely row-local higher-order functions: zero shuffles,
-    scan-speed at 100 TB (_spread only balances a fewer-splits-than-cores
-    toy scan; no-op once the input has real splits)."""
+    groups by. Entirely row-local (one Arrow-batched pandas UDF, the
+    default engine since r7; the all-JVM HOF engine remains selectable):
+    zero shuffles, scan-speed at 100 TB (_spread only balances a
+    fewer-splits-than-cores toy scan; no-op once the input has real
+    splits)."""
     from rust_chunking_spark.operators.text_dedup import winnow_fingerprints
 
     d = _spread(spark, _t(spark, sf_dir, "documents"), "doc_id", "text")

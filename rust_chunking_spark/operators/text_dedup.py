@@ -573,11 +573,15 @@ def _winnow_fp_udf(k: int, w: int):
             if n <= 0:
                 out.append([])
                 continue
-            # first 8 md5 bytes big-endian == first 16 hex chars ordered
+            # first 8 md5 bytes big-endian == first 16 hex chars ordered;
+            # convert to NATIVE order immediately (values preserved):
+            # pandas rejects big-endian buffers on some versions
+            # ("Big-endian buffer not supported"), so pd.unique below must
+            # never see the '>u8' view
             h = np.frombuffer(
                 b"".join(md5(" ".join(ws[i:i + k]).encode("utf-8"))
                          .digest()[:8] for i in range(n)),
-                dtype=">u8")
+                dtype=">u8").astype(np.uint64)
             if n < w:
                 mins = h.min(keepdims=True)
             else:
@@ -822,7 +826,8 @@ def incremental_exact_dup_pairs(new_docs: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
                                 group_cap: int = 64,
-                                broadcast_new: bool | None = None):
+                                broadcast_new: bool | None = None,
+                                scratch: list | None = None):
     """The exact-hash twin of :func:`incremental_lsh_dup_pairs` — the
     FIRST rung of a CDC pipeline's dedup ladder (exact duplicates are
     the bulk of web re-crawls; run this before the costlier minhash pass
@@ -847,11 +852,22 @@ def incremental_exact_dup_pairs(new_docs: DataFrame,
     negligible-on-non-adversarial-data assumption, same as the batch
     exact-dedup queries. No verification stage exists: hash equality IS
     the verdict, so est_jaccard has no analogue here.
+
+    Cache-release contract (the LSH twin's scratch discipline): the
+    epoch's skinny (id, md5) frame is ``.cache()``d because both return
+    values read it. A long-running CDC loop chaining epochs should pass
+    ``scratch=[]``, and after the pairs are consumed and the state
+    persisted call ``df.unpersist()`` on each appended handle —
+    otherwise each epoch pins one cached DataFrame until the plan is
+    garbage-collected (the ContextCleaner eventually frees it, but a
+    driver loop holding state lineage alive defers that indefinitely).
     """
     new = (new_docs.select(F.col(id_col).alias("id"),
                            F.lit(0).alias("band"),
                            F.md5(F.col(text_col)).alias("bh"))
            .cache())
+    if scratch is not None:
+        scratch.append(new)
     cand = _capped_bucket_pairs(new, group_cap)
     if state is not None:
         if broadcast_new is None:

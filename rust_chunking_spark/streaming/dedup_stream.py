@@ -203,9 +203,12 @@ class StreamingDedup:
         is fully written under a NEW generation root, then CURRENT is
         atomically replaced; a crash before the flip leaves the old
         generation intact (the orphan new root is overwritten by the next
-        compact), a crash after it leaves the new one live (the stale old
-        root is garbage-collected here, next call). Returns False when
-        there is nothing to compact."""
+        compact), a crash after it leaves the new one live. Every
+        ``gen-*`` directory other than CURRENT is swept at the END of a
+        successful compact — not just this call's predecessor — so a
+        generation orphaned by an earlier crash-after-flip is reclaimed
+        on the next compact instead of leaking forever. Returns False
+        when there is nothing to compact."""
         batches = self.committed_batches()
         if len(batches) <= 1:
             return False
@@ -237,7 +240,13 @@ class StreamingDedup:
             with open(os.path.join(new_root, f"_COMMITTED_{b:06d}"), "w"):
                 pass
         self._flip_current(new_gen)
-        shutil.rmtree(os.path.join(self.state_dir, cur), ignore_errors=True)
+        # sweep EVERY stale generation, not just this call's predecessor:
+        # a crash between a previous flip and its rmtree leaves gen-(K-1)
+        # orphaned with CURRENT already pointing past it
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("gen-") and entry != new_gen:
+                shutil.rmtree(os.path.join(self.state_dir, entry),
+                              ignore_errors=True)
         return True
 
     # ------------------------------------------------------------ stream

@@ -1568,6 +1568,46 @@ def test_incremental_exact_update_supersedes(spark):
     assert st.count() == st.select("id").distinct().count() == 4
 
 
+def test_incremental_exact_scratch_releases_epoch_caches(spark, tmp_path):
+    """Cache-release contract (ADVICE r7 #1): chaining epochs with
+    scratch=[] and unpersisting after each consume leaves NO cached-block
+    growth across 10 epochs — without it each epoch pins one cached
+    skinny frame for the session's life. The state is persisted to
+    parquet per epoch (the real streaming-loop discipline), so the cache
+    is genuinely dead when released."""
+    from rust_chunking_spark.operators.text_dedup import (
+        incremental_exact_dup_pairs)
+
+    def n_cached():
+        return len([i for i in
+                    spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = n_cached()
+    state = None
+    for ep in range(10):
+        scratch = []
+        pairs, state = incremental_exact_dup_pairs(
+            mk([(ep * 10 + i, f"text {ep} {i}") for i in range(5)]
+               + [(ep * 10 + 9, "shared duplicate text")]),
+            state, scratch=scratch)
+        pairs.count()
+        # the streaming persistence boundary: state to parquet, reload
+        sp = str(tmp_path / f"state-{ep}")
+        state.write.mode("overwrite").parquet(sp)
+        state = spark.read.parquet(sp)
+        for df in scratch:
+            df.unpersist(blocking=True)
+    assert n_cached() <= base   # no per-epoch accumulation
+    # the chain still works: epoch 10 matches the epoch-9 duplicate
+    scratch = []
+    pairs, state = incremental_exact_dup_pairs(
+        mk([(999, "shared duplicate text")]), state, scratch=scratch)
+    assert pairs.filter("b = 999").count() >= 1
+    for df in scratch:
+        df.unpersist(blocking=True)
+
+
 def test_incremental_exact_caps_hot_groups(spark):
     """A boilerplate hash group larger than the cap emits min-old-id
     star rows, never g_old x g_new enumerated pairs."""

