@@ -48,12 +48,14 @@ Two sink modes, selected by the lake class:
 - **COW** (``BucketedLake``): the flow above — dirty buckets fully rewritten,
   decisions from a column-pruned wide read, sha3 + chunking as two passes.
 - **MoR** (``MorBucketedLake``): decisions read a SKINNY meta table; content
-  candidates (inserts + fingerprint-comparison rows) are chunked AND
-  fingerprinted in ONE fused UDF pass written straight to uncommitted delta
-  files; the noop/update split is decided from the staged files' skinny
-  columns; an atomic commit lands delta + meta together. Per-epoch wide IO is
-  O(changed bytes) and the wide event column is decoded once, not twice —
-  measured ~40% faster and the shape that scales (see BENCH.md).
+  candidates (inserts + fingerprint-comparison rows) are fingerprinted AND —
+  only when changed vs current state — chunked, in ONE fused UDF pass;
+  unchanged recrawls are dropped BEFORE the bucket shuffle (r8), so the
+  uncommitted delta files hold applied content only; the noop/update split
+  is decided from presence in the staged files; an atomic commit lands
+  delta + meta together. Per-epoch wide IO is O(changed bytes) and the wide
+  event column is decoded once, not twice — measured ~40% faster than COW
+  in r6 plus a further 1.15-1.22x interleaved in r8 (see BENCH.md).
 """
 
 from __future__ import annotations
@@ -318,13 +320,14 @@ class CdcIngestJob:
 
         The COW path decodes the wide event column twice (a sha3 decision
         pass, then the chunk+write pass). Here content candidates (inserts +
-        anything needing a fingerprint comparison) are chunked AND
-        fingerprinted in a single fused UDF pass whose output is written
-        straight to uncommitted delta files; the no-op/update split is then
-        decided from the just-written files' SKINNY (url, content_fp)
-        columns. No-op rows ride along in the delta but are never referenced
-        by meta (compaction drops them) — trading ~the no-op fraction of
-        delta bytes for an entire wide decode pass per epoch.
+        anything needing a fingerprint comparison) are fingerprinted AND —
+        only when the fingerprint differs from current state — chunked, in
+        a single fused UDF pass; unchanged (no-op) rows are dropped before
+        the bucket shuffle, so the delta holds APPLIED content only and
+        per-epoch wide IO is O(changed bytes). The no-op/update split is
+        then decided from presence in the just-written files (absence IS
+        the no-op verdict; the fingerprint comparison already happened
+        inside the UDF).
         """
         cur_meta_raw = self.lake.read_meta(self.spark, buckets=dirty)
         ev_pre = latest.select(
