@@ -62,6 +62,33 @@ def test_merge_decision_join_is_column_pruned(spark, small_job):
         assert "html" not in cols and "text" not in cols, s
 
 
+def test_mor_content_filter_evaluates_udf_once(spark):
+    """The r8 unchanged-fp drop filters on the content UDF's output; a
+    deterministic UDF there would be re-evaluated below the pushed
+    filter (two ArrowEvalPython nodes — the guide-§4.4 trap that also
+    hit the chunk queries). The asNondeterministic mark must pin exactly
+    ONE evaluation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rust_chunking_spark.functions.chunking import content_skip_udf
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", bytes(f"<html>{i}</html>", "ascii"),
+          None if i % 2 else b"x" * 32) for i in range(8)],
+        "url string, html binary, __cur_fp binary")
+    c_udf = content_skip_udf("super").asNondeterministic()
+    cand_rows = (docs.withColumn("__c", c_udf(F.col("html"),
+                                              F.col("__cur_fp")))
+                 .filter(~F.col("__c.fp").eqNullSafe(F.col("__cur_fp"))
+                         | F.col("__c.fp").isNull())
+                 .select("url", F.col("__c.fp").alias("content_fp"),
+                         F.col("__c.chunks").alias("chunks")))
+    plan = explain_str(cand_rows, "formatted")
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+
+
 def test_lww_shuffles_skinny_only(spark, small_job):
     """No shuffle exchange in the LWW plan may carry the html column."""
     job, wal = small_job
